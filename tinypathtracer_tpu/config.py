@@ -1,0 +1,57 @@
+"""Render configuration.
+
+The CUDA reference compiles all of these in as constants (window size
+vkEngine.h:24, spp=64 path_tracer.cu:559, depth=8 path_tracer.cu:17,
+block 16x16 path_tracer.cu:15); here they are a dataclass consumed as
+static jit arguments, plus a CLI in tools/render_cli.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of one render pipeline instance.
+
+    Everything in here is a *static* (trace-time) constant: changing any
+    field recompiles the jitted pipeline.
+    """
+
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    max_depth: int = 8
+    # "reference" reproduces the CUDA estimator exactly, including its
+    # quirks (no-cosine delta-light NEE, scalar emission, extra
+    # direct-bounce emitter sample; see render/integrator.py).
+    # "physical" is the physically-correct estimator.
+    mode: str = "reference"
+    # Intersection backend: "bruteforce" tests every ray against every
+    # triangle (exact oracle; fine for tiny scenes / tests), "bvh" uses
+    # the LBVH + vectorized traversal (default for real renders).
+    intersector: str = "bvh"
+    # Rays are processed in tiles of this many pixels to bound memory
+    # (the analogue of the reference's 16x16 CUDA blocks, but sized for
+    # VPU lanes / VMEM instead of warps).
+    tile_pixels: int = 16384
+    # Fixed traversal stack depth per ray (reference uses 64,
+    # path_tracer.cu:64); LBVH depth for sorted morton codes is ~2*log2(n).
+    stack_depth: int = 32
+    # Environment light intensity scale applied on miss.
+    env_scale: float = 1.0
+    # Russian roulette is NOT part of the reference estimator; keep off
+    # for parity. (Hook for the physical mode.)
+    russian_roulette: bool = False
+
+    def __post_init__(self):
+        if self.mode not in ("reference", "physical"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.intersector not in ("bruteforce", "bvh"):
+            raise ValueError(f"unknown intersector {self.intersector!r}")
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height

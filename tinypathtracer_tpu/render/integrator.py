@@ -1,0 +1,203 @@
+"""Path-tracing integrator.
+
+The TPU redesign of the CUDA megakernel `trace` (path_tracer.cu:296-435).
+The reference runs one thread per pixel looping over spp and bounce
+depth with per-depth stacks (pStack/mtlIdxStack/directLightStack/
+attenuation, path_tracer.cu:315-318) and a backward accumulation pass
+(:417-430). Here the bounce loop is a `lax.scan` over a whole ray batch
+carrying (origin, dir, throughput, radiance, alive) -- the backward
+stack is algebraically folded into a forward throughput product, which
+is exactly equivalent:
+
+    backward:  L_d = (direct_d + L_{d+1}) * a_d        (a_d = atten/p)
+    forward:   L   = sum_d direct_d * prod_{k<=d} a_k  + terminal * prod a_k
+
+so the forward pass needs no per-depth storage at all (the analogue of
+the survey's "scale the big axis without materializing a stack").
+
+Estimator semantics ("reference" mode) -- each quirk kept deliberately
+for image parity and gated behind cfg.mode so a physically-correct mode
+can coexist:
+
+  * delta-light NEE adds baseColor * incomingRadiance with NO cosine or
+    1/pi BRDF factor (path_tracer.cu:281);
+  * one extra BSDF-sampled "direct" ray per diffuse bounce adds the raw
+    scalar emissionFactor of whatever emissive it hits
+    (path_tracer.cu:387-401), with no distance/cos weighting and no env
+    contribution on miss;
+  * hitting an emissive surface terminates the path and contributes the
+    scalar emissionFactor, NOT scaled by that bounce's BSDF
+    (path_tracer.cu:408-412, 421-423);
+  * miss terminates with the env lookup (path_tracer.cu:358-362);
+  * shadow rays use full closest-hit occlusion with no max-distance
+    clip: geometry beyond a point light still shadows it
+    (path_tracer.cu:277-283).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tinypathtracer_tpu.config import RenderConfig
+from tinypathtracer_tpu.models.envlight import env_lookup
+from tinypathtracer_tpu.models.scene import FlatScene
+from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
+from tinypathtracer_tpu.utils.math3d import vnormalize
+
+# closest_hit(origins [N,3], dirs [N,3]) -> (fid [N] i32, t [N], uv [N,2])
+HitFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TraceData:
+    """Per-frame world-space geometry + shading tables (device arrays)."""
+
+    tri_verts: jnp.ndarray     # [F, 3, 3] world-space triangle vertices
+    world_normals: jnp.ndarray # [V, 3]
+    indices: jnp.ndarray       # [F, 3]
+    face_mtl: jnp.ndarray      # [F]
+    mtl_base_color: jnp.ndarray
+    mtl_emission: jnp.ndarray
+    mtl_eta: jnp.ndarray
+    mtl_metallic: jnp.ndarray
+    light_kind: jnp.ndarray
+    light_color: jnp.ndarray
+    light_intensity: jnp.ndarray
+    light_pos: jnp.ndarray
+    light_dir: jnp.ndarray
+    light_cos_outer: jnp.ndarray
+    light_inv_cone: jnp.ndarray
+    env_radiance: jnp.ndarray
+
+    @staticmethod
+    def from_scene(scene: FlatScene) -> "TraceData":
+        wv, wn = scene.world_geometry()
+        return TraceData(
+            tri_verts=wv[scene.indices],
+            world_normals=wn,
+            indices=scene.indices,
+            face_mtl=scene.face_mtl,
+            mtl_base_color=scene.mtl_base_color,
+            mtl_emission=scene.mtl_emission,
+            mtl_eta=scene.mtl_eta,
+            mtl_metallic=scene.mtl_metallic,
+            light_kind=scene.light_kind,
+            light_color=scene.light_color,
+            light_intensity=scene.light_intensity,
+            light_pos=scene.light_pos,
+            light_dir=scene.light_dir,
+            light_cos_outer=scene.light_cos_outer,
+            light_inv_cone=scene.light_inv_cone,
+            env_radiance=scene.env_radiance,
+        )
+
+
+def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
+                  any_hit: HitFn):
+    """Delta-light NEE (reference sampleDeltaLights, path_tracer.cu:265-286).
+
+    One shadow ray per light per lane; the light count is static so the
+    loop unrolls into L independent masked occlusion queries.
+    """
+    n = hit_pos.shape[0]
+    direct = jnp.zeros((n, 3), dtype=jnp.float32)
+    n_lights = data.light_kind.shape[0]
+    for li in range(n_lights):
+        wi, lrad, _dist = lights_ops.sample_delta_light(
+            hit_pos, data.light_kind[li], data.light_color[li],
+            data.light_intensity[li], data.light_pos[li], data.light_dir[li],
+            data.light_cos_outer[li], data.light_inv_cone[li])
+        fid, _t, _uv = any_hit(hit_pos, wi)
+        unoccluded = fid < 0
+        contrib = base_color * lrad
+        direct = direct + jnp.where(unoccluded[:, None], contrib, 0.0)
+    return direct
+
+
+def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
+                origins, dirs, key):
+    """Trace a batch of rays to completion; returns radiance [N, 3].
+
+    One scan step == one bounce for ALL rays (dead lanes are masked,
+    wavefront compaction comes in at the traversal layer where it pays).
+    """
+    n = origins.shape[0]
+
+    def bounce(state, depth):
+        o, d, thr, rad, alive = state
+        k = jax.random.fold_in(key, depth)
+        k_bsdf, k_direct = jax.random.split(k)
+
+        fid, t, uv = closest_hit(o, d)
+        miss = fid < 0
+
+        # Terminal: environment on miss (path_tracer.cu:358-362)
+        env = env_lookup(data.env_radiance, d) * cfg.env_scale
+        rad = rad + jnp.where((alive & miss)[:, None], thr * env, 0.0)
+
+        fid_s = jnp.maximum(fid, 0)
+        tri_idx = data.indices[fid_s]                       # [N, 3]
+        u_, v_ = uv[:, 0], uv[:, 1]
+        w_ = 1.0 - u_ - v_
+        nrm = (w_[:, None] * data.world_normals[tri_idx[:, 0]]
+               + u_[:, None] * data.world_normals[tri_idx[:, 1]]
+               + v_[:, None] * data.world_normals[tri_idx[:, 2]])
+        nrm = vnormalize(nrm)
+        hit_pos = o + t[:, None] * d
+
+        mi = data.face_mtl[fid_s]
+        emission = data.mtl_emission[mi]
+        base_color = data.mtl_base_color[mi]
+        eta = data.mtl_eta[mi]
+        metallic = data.mtl_metallic[mi]
+
+        # Terminal: emissive hit contributes the raw scalar emission
+        # (path_tracer.cu:408-412, 421-423)
+        emissive = emission > 0.0
+        rad = rad + jnp.where((alive & ~miss & emissive)[:, None],
+                              thr * emission[:, None], 0.0)
+
+        live = alive & ~miss & ~emissive
+
+        # BSDF bounce: weight = baseColor * atten/p (path_tracer.cu:379-380)
+        next_dir, weight, _is_spec = bsdf.sample_bsdf(
+            k_bsdf, d, nrm, eta, metallic, base_color)
+
+        # Delta-light NEE (quirk: no cos / BRDF weighting)
+        direct = _direct_light(data, cfg, hit_pos, base_color, closest_hit)
+
+        if cfg.mode == "reference":
+            # Extra direct-emitter sample for non-specular materials
+            # (path_tracer.cu:387-401): a second BSDF draw; if it hits
+            # anything, add that material's scalar emissionFactor.
+            do_extra = ~((eta >= 1.0) | (metallic > 0.0))
+            dir2, _w2, _s2 = bsdf.sample_bsdf(
+                k_direct, d, nrm, eta, metallic, base_color)
+            fid2, _t2, _uv2 = closest_hit(hit_pos, dir2)
+            em2 = data.mtl_emission[data.face_mtl[jnp.maximum(fid2, 0)]]
+            em2 = jnp.where(fid2 >= 0, em2, 0.0)
+            direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]
+
+        # direct_d enters weighted by prod_{k<=d} a_k = thr * weight
+        rad = rad + jnp.where(live[:, None], thr * weight * direct, 0.0)
+        thr = jnp.where(live[:, None], thr * weight, thr)
+        o = jnp.where(live[:, None], hit_pos, o)
+        d = jnp.where(live[:, None], next_dir, d)
+        return (o, d, thr, rad, live), None
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), dtype=jnp.float32),
+        jnp.zeros((n, 3), dtype=jnp.float32),
+        jnp.ones((n,), dtype=bool),
+    )
+    (_, _, _, rad, _), _ = lax.scan(
+        bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    return rad
