@@ -13,6 +13,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    # If a TPU plugin was registered by sitecustomize before this
+    # conftest ran, drop its factory so backend init doesn't spend ~60s
+    # handshaking hardware the tests never use.
+    import jax._src.xla_bridge as _xb
+
+    for _k in list(_xb._backend_factories):
+        if _k != "cpu":
+            _xb._backend_factories.pop(_k, None)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 REFERENCE_INPUT = "/root/reference/input"

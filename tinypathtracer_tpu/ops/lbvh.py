@@ -1,0 +1,209 @@
+"""LBVH construction as a fully vectorized XLA program.
+
+TPU redesign of the reference's per-frame GPU LBVH build (bvh.cu):
+
+  reference (CUDA)                          -> here (jnp, one jit)
+  ------------------------------------------------------------------
+  initNodes kernel: per-face AABB + 63-bit  -> batched min/max + 30-bit
+    morton via float-bit hack (bvh.cu:23-62)   morton from normalized
+                                               centroids (int32-native;
+                                               TPUs have no fast int64)
+  thrust::sort_by_key (bvh.cu:326)          -> jnp.argsort
+  computeNodeRange: per-node sequential     -> Karras 2012 ranges as
+    exp/binary search (bvh.cu:64-217)          fixed-trip masked vector
+                                               loops over all nodes
+  computeBBox: single-1024-thread-block     -> bottom-up fit as masked
+    level labeling + __syncthreads sweeps      union sweeps in a
+    (bvh.cu:220-302)                           while_loop to fixpoint
+
+Node layout matches the reference (bvh.cuh:52-67): internal nodes are
+[0, F-1), leaves [F-1, 2F-1); node i is a leaf iff i >= F-1
+(path_tracer.cu:73). Morton ties are broken by sorted index (the
+reference relies on raw 63-bit codes and can build degenerate trees on
+duplicates; the tiebreak keeps the tree height ~= 30 + log2(F)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tinypathtracer_tpu.utils.math3d import REAL_MAX
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BVH:
+    """SoA LBVH over triangles. Node space: [0, F-1) internal, rest leaves."""
+
+    left: jnp.ndarray      # [max(F-1,1)] i32 child node index
+    right: jnp.ndarray     # [max(F-1,1)] i32
+    parent: jnp.ndarray    # [2F-1] i32 (-1 for root)
+    leaf_fid: jnp.ndarray  # [F] i32 original face id of leaf k (node F-1+k)
+    bmin: jnp.ndarray      # [2F-1, 3] f32
+    bmax: jnp.ndarray      # [2F-1, 3] f32
+    tri_verts: jnp.ndarray # [F, 3, 3] f32 (leaf-sorted NOT applied; original order)
+
+    @property
+    def n_faces(self) -> int:
+        return self.leaf_fid.shape[0]
+
+
+def _expand_bits10(x):
+    """Spread 10 bits to every 3rd bit of a 30-bit int32 (cf. bvh.cu:14-21)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton30(centroids, scene_min, scene_max):
+    """30-bit morton codes from centroids normalized to the scene AABB.
+
+    The reference quantizes raw float coordinates through a custom
+    float->21-bit-int (bvh.cu:23-46); normalizing to the scene bounds
+    first gives better code utilization and stays in int32.
+    Bit order matches bvh.cu:60: x | y<<1 | z<<2.
+    """
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    q = (centroids - scene_min) / extent
+    q = jnp.clip((q * 1024.0).astype(jnp.int32), 0, 1023)
+    return (_expand_bits10(q[:, 0])
+            | (_expand_bits10(q[:, 1]) << 1)
+            | (_expand_bits10(q[:, 2]) << 2))
+
+
+def _make_delta(codes):
+    """delta(i, j): common-prefix length of augmented keys, -1 out of range.
+
+    Equal codes fall back to 32 + clz(i ^ j) -- the standard index
+    tiebreak (the reference's __clzll on raw keys, bvh.cu:9-12, has no
+    such fallback).
+    """
+    f = codes.shape[0]
+    idx = jnp.arange(f, dtype=jnp.int32)
+
+    def delta(i, j):
+        valid = (j >= 0) & (j < f)
+        js = jnp.clip(j, 0, f - 1)
+        ci, cj = codes[i], codes[js]
+        x = ci ^ cj
+        d_code = lax.clz(x)
+        d_tie = 32 + lax.clz(i ^ js)
+        d = jnp.where(x == 0, d_tie, d_code)
+        return jnp.where(valid, d, -1)
+
+    return delta
+
+
+def build_lbvh(tri_verts) -> BVH:
+    """Build the LBVH for [F, 3, 3] world-space triangles (jit-friendly)."""
+    f = tri_verts.shape[0]
+    fb_min = jnp.min(tri_verts, axis=1)          # [F, 3] per-face AABB
+    fb_max = jnp.max(tri_verts, axis=1)
+    centroids = 0.5 * (fb_min + fb_max)          # bvh.cuh box.center()
+    scene_min = jnp.min(fb_min, axis=0)
+    scene_max = jnp.max(fb_max, axis=0)
+
+    codes = morton30(centroids, scene_min, scene_max)
+    order = jnp.argsort(codes).astype(jnp.int32)       # leaf k -> face id
+    sorted_codes = codes[order]
+
+    n_nodes = 2 * f - 1
+    n_int = max(f - 1, 1)
+
+    if f == 1:
+        # Single-leaf degenerate tree: node 0 is the leaf/root.
+        return BVH(
+            left=jnp.zeros((1,), jnp.int32),
+            right=jnp.zeros((1,), jnp.int32),
+            parent=jnp.full((1,), -1, jnp.int32),
+            leaf_fid=order,
+            bmin=fb_min[order],
+            bmax=fb_max[order],
+            tri_verts=tri_verts,
+        )
+
+    delta = _make_delta(sorted_codes)
+    i = jnp.arange(f - 1, dtype=jnp.int32)
+
+    # Direction: +1 iff the right neighbor shares a longer prefix
+    # (reference getTheOtherEnd, bvh.cu:64-75)
+    d = jnp.where(delta(i, i + 1) >= delta(i, i - 1), 1, -1).astype(jnp.int32)
+    delta_min = delta(i, i - d)
+
+    # Exponential search for the range upper bound (bvh.cu:77-86),
+    # vectorized as a fixed-trip masked doubling loop.
+    def grow(_, carry):
+        lmax, active = carry
+        cond = active & (delta(i, i + lmax * d) > delta_min)
+        return jnp.where(cond, lmax << 1, lmax), cond
+
+    lmax, _ = lax.fori_loop(0, 32, grow,
+                            (jnp.full(f - 1, 2, jnp.int32), jnp.ones(f - 1, bool)))
+
+    # Binary search for the exact range end (bvh.cu:88-98): per-lane
+    # step t halves every round regardless of lane state.
+    def shrink(_, carry):
+        l, t = carry
+        cond = (t > 0) & (delta(i, (l + t) * d + i) > delta_min)
+        return jnp.where(cond, l + t, l), t >> 1
+
+    l, _ = lax.fori_loop(0, 32, shrink,
+                         (jnp.zeros(f - 1, jnp.int32), lmax >> 1))
+    j = i + l * d
+    delta_node = delta(i, j)
+
+    # Split search (Karras gamma; reference findSplitPosition bvh.cu:101-120)
+    def split_step(_, carry):
+        s, t = carry
+        cond = (t > 0) & (delta(i, (s + t) * d + i) > delta_node)
+        s = jnp.where(cond, s + t, s)
+        t = jnp.where(t > 1, (t + 1) >> 1, 0)
+        return s, t
+
+    t0 = jnp.where(l > 1, (l + 1) >> 1, jnp.minimum(l, 1))
+    s, _ = lax.fori_loop(0, 32, split_step, (jnp.zeros(f - 1, jnp.int32), t0))
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    left_is_leaf = lo == gamma
+    right_is_leaf = hi == gamma + 1
+    left = jnp.where(left_is_leaf, gamma + (f - 1), gamma)
+    right = jnp.where(right_is_leaf, gamma + f, gamma + 1)
+
+    parent = jnp.full((n_nodes,), -1, jnp.int32)
+    parent = parent.at[left].set(i)
+    parent = parent.at[right].set(i)
+
+    # Bottom-up AABB fit: masked union sweeps to fixpoint. Replaces the
+    # reference's single-block level labeling + __syncthreads loop
+    # (bvh.cu:220-302) with O(height) data-parallel sweeps.
+    leaf_bmin = fb_min[order]
+    leaf_bmax = fb_max[order]
+    bmin0 = jnp.concatenate([jnp.full((f - 1, 3), REAL_MAX), leaf_bmin])
+    bmax0 = jnp.concatenate([jnp.full((f - 1, 3), -REAL_MAX), leaf_bmax])
+
+    def sweep_cond(state):
+        _, _, changed, it = state
+        return changed & (it < 2 * f)
+
+    def sweep(state):
+        bmin, bmax, _, it = state
+        new_min = jnp.minimum(bmin[left], bmin[right])
+        new_max = jnp.maximum(bmax[left], bmax[right])
+        changed = jnp.any(new_min != bmin[: f - 1]) | jnp.any(new_max != bmax[: f - 1])
+        bmin = bmin.at[: f - 1].set(new_min)
+        bmax = bmax.at[: f - 1].set(new_max)
+        return bmin, bmax, changed, it + 1
+
+    bmin, bmax, _, _ = lax.while_loop(
+        sweep_cond, sweep, (bmin0, bmax0, jnp.array(True), jnp.array(0)))
+
+    return BVH(left=left, right=right, parent=parent, leaf_fid=order,
+               bmin=bmin, bmax=bmax, tri_verts=tri_verts)
