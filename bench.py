@@ -1,0 +1,79 @@
+"""Benchmark harness: primary rays/s/chip on the Cornell box.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+1e8 primary rays/s/chip (the reference publishes no numbers of its own
+-- see BASELINE.md), so 1.0 == target reached.
+
+Env overrides (all optional):
+  BENCH_WIDTH/HEIGHT/SPP/DEPTH  workload shape (default 512x512@16, d8)
+  BENCH_INTERSECTOR             "bvh" (default) | "bruteforce"
+  BENCH_REPEATS                 timed repetitions (default 3, best-of)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from tinypathtracer_tpu import load_scene, RenderConfig, Renderer
+    from tinypathtracer_tpu.models.envlight import gradient_sky
+
+    width = int(os.environ.get("BENCH_WIDTH", 512))
+    height = int(os.environ.get("BENCH_HEIGHT", 512))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    depth = int(os.environ.get("BENCH_DEPTH", 8))
+    intersector = os.environ.get("BENCH_INTERSECTOR", "bvh")
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    scene = load_scene("/root/reference/input/box.gltf")
+    flat = scene.flatten(env_radiance=gradient_sky(64, 128))
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=depth,
+                       intersector=intersector,
+                       tile_pixels=min(16384, width * height))
+    r = Renderer(cfg)
+
+    key = jax.random.PRNGKey(0)
+    img = np.asarray(r.render(flat, key))          # compile + warmup
+    assert np.isfinite(img).all(), "non-finite radiance"
+    assert img.mean() > 0.01, "suspiciously dark image"
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = r.render(flat, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    primary_rays = width * height * spp
+    rays_per_s = primary_rays / best
+    target = 1e8
+    print(json.dumps({
+        "metric": f"primary rays/s/chip (Cornell box {width}x{height}@{spp}spp d{depth}, {intersector})",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / target, 6),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # emit a parseable failure record, nonzero exit
+        print(json.dumps({
+            "metric": "primary rays/s/chip (Cornell box)",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)

@@ -22,9 +22,10 @@ try:
     # handshaking hardware the tests never use.
     import jax._src.xla_bridge as _xb
 
-    for _k in list(_xb._backend_factories):
-        if _k != "cpu":
-            _xb._backend_factories.pop(_k, None)
+    # Pop only the axon factory: the 'tpu' factory must stay registered
+    # because downstream imports (checkify via optax) validate platform
+    # names against it, and it never initializes under jax_platforms=cpu.
+    _xb._backend_factories.pop("axon", None)
 except Exception:
     pass
 

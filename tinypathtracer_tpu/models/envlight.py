@@ -74,7 +74,10 @@ def env_lookup(env_radiance, dirs):
     (path_tracer.cu:288-294): nearest-texel fetch, no filtering.
     """
     h, w = env_radiance.shape[0], env_radiance.shape[1]
-    u, v = dir_to_uv(dirs)
+    # Texel selection is discrete: detach it so arccos'(+-1) = inf can
+    # never reach reverse-mode (gradients still flow to the map values
+    # through the gather).
+    u, v = dir_to_uv(jax.lax.stop_gradient(dirs))
     col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, h - 1)
     return env_radiance[row, col]

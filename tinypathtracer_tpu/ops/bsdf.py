@@ -39,12 +39,18 @@ def refract_reference(d, n, ior):
     """
     cos_i = vdot(d, n)                             # [N]
     exiting = cos_i > 0.0
-    eta = jnp.where(exiting, ior, 1.0 / jnp.maximum(ior, 1e-8))
+    # guard ior <= 0 (non-dielectric lanes evaluated under a mask): any
+    # inf/NaN in an unselected branch still poisons reverse-mode via
+    # 0 * inf, so keep every lane finite.
+    ior_safe = jnp.where(ior > 0.0, ior, 1.0)
+    eta = jnp.where(exiting, ior_safe, 1.0 / ior_safe)
     n_s = jnp.where(exiting[..., None], -n, n)
     cos_i_abs = jnp.abs(cos_i)
     sin2_t = eta * eta * (1.0 - cos_i_abs * cos_i_abs)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # sqrt'(0) = inf: clamp the argument away from 0 on TIR lanes where
+    # the result is discarded anyway.
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - jnp.where(tir, 0.0, sin2_t), 0.0))
     refracted = eta[..., None] * d + (cos_i_abs * eta - cos_t)[..., None] * n_s
     refracted = jnp.where(tir[..., None], 0.0, refracted)
     return refracted, cos_i_abs, eta, tir

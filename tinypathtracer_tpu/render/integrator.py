@@ -47,6 +47,7 @@ from tinypathtracer_tpu.config import RenderConfig
 from tinypathtracer_tpu.models.envlight import env_lookup
 from tinypathtracer_tpu.models.scene import FlatScene
 from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
+from tinypathtracer_tpu.ops.traverse import _ray_tri_single
 from tinypathtracer_tpu.utils.math3d import vnormalize
 
 # closest_hit(origins [N,3], dirs [N,3]) -> (fid [N] i32, t [N], uv [N,2])
@@ -113,7 +114,9 @@ def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
             hit_pos, data.light_kind[li], data.light_color[li],
             data.light_intensity[li], data.light_pos[li], data.light_dir[li],
             data.light_cos_outer[li], data.light_inv_cone[li])
-        fid, _t, _uv = any_hit(hit_pos, wi)
+        # Occlusion is purely combinatorial: detach it from autodiff so
+        # while_loop-based backends never see tangents.
+        fid, _t, _uv = any_hit(lax.stop_gradient(hit_pos), lax.stop_gradient(wi))
         unoccluded = fid < 0
         contrib = base_color * lrad
         direct = direct + jnp.where(unoccluded[:, None], contrib, 0.0)
@@ -129,12 +132,32 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     """
     n = origins.shape[0]
 
+    def hit_query(o, d):
+        """Closest hit with the discrete part detached from autodiff.
+
+        The winning face id comes from the (non-differentiable,
+        possibly while_loop-based) traversal backend under
+        stop_gradient; t and the barycentrics are then recomputed
+        differentiably against that one triangle, so gradients flow to
+        vertices/camera while the combinatorial visibility decision is
+        treated as constant -- the path-replay convention (hit ids are
+        non-differentiable, shading is; SURVEY.md par. 7 hard part 2).
+        The recomputation is the same Moller-Trumbore arithmetic the
+        backends use, so primal values are bit-identical.
+        """
+        fid, _t, _uv = jax.tree_util.tree_map(
+            lax.stop_gradient, closest_hit(lax.stop_gradient(o),
+                                           lax.stop_gradient(d)))
+        tri = data.tri_verts[jnp.maximum(fid, 0)]
+        t, u, v, _ok = _ray_tri_single(o, d, tri[:, 0], tri[:, 1], tri[:, 2])
+        return fid, t, jnp.stack([u, v], axis=-1)
+
     def bounce(state, depth):
         o, d, thr, rad, alive = state
         k = jax.random.fold_in(key, depth)
         k_bsdf, k_direct = jax.random.split(k)
 
-        fid, t, uv = closest_hit(o, d)
+        fid, t, uv = hit_query(o, d)
         miss = fid < 0
 
         # Terminal: environment on miss (path_tracer.cu:358-362)
@@ -148,7 +171,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         nrm = (w_[:, None] * data.world_normals[tri_idx[:, 0]]
                + u_[:, None] * data.world_normals[tri_idx[:, 1]]
                + v_[:, None] * data.world_normals[tri_idx[:, 2]])
-        nrm = vnormalize(nrm)
+        nrm = vnormalize(nrm, eps=1e-20)  # eps: degenerate interpolated normals
         hit_pos = o + t[:, None] * d
 
         mi = data.face_mtl[fid_s]
@@ -179,7 +202,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             do_extra = ~((eta >= 1.0) | (metallic > 0.0))
             dir2, _w2, _s2 = bsdf.sample_bsdf(
                 k_direct, d, nrm, eta, metallic, base_color)
-            fid2, _t2, _uv2 = closest_hit(hit_pos, dir2)
+            fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(hit_pos),
+                                          lax.stop_gradient(dir2))
             em2 = data.mtl_emission[data.face_mtl[jnp.maximum(fid2, 0)]]
             em2 = jnp.where(fid2 >= 0, em2, 0.0)
             direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]

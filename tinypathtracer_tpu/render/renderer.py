@@ -11,13 +11,16 @@ single dispatch with no host sync until the image is fetched.
 Pixel work is processed in tiles (lax.map over pixel tiles, scan over
 spp inside) to bound the live [rays x triangles] working set -- the
 role the 16x16 CUDA blocks play in the reference, but sized for
-VMEM/HBM instead of SM occupancy.
+VMEM/HBM instead of SM occupancy. Rendering is addressed by pixel-id
+arrays so the same code path serves the single-chip renderer and the
+shard_map-distributed one (parallel/shard.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 import jax
@@ -27,41 +30,64 @@ from jax import lax
 from tinypathtracer_tpu.config import RenderConfig
 from tinypathtracer_tpu.models.scene import FlatScene, Scene
 from tinypathtracer_tpu.ops import intersect
+from tinypathtracer_tpu.ops.lbvh import BVH, build_lbvh
+from tinypathtracer_tpu.ops.traverse import closest_hit_bvh
 from tinypathtracer_tpu.render import film, raygen
 from tinypathtracer_tpu.render.integrator import TraceData, trace_paths
 
 
-def make_intersector(cfg: RenderConfig, tri_verts):
-    """Build the closest-hit backend chosen by cfg.intersector."""
-    if cfg.intersector == "bruteforce":
-        chunk = min(512, max(8, tri_verts.shape[0]))
-        return functools.partial(
-            intersect.closest_hit_bruteforce, tri_verts=tri_verts, chunk=chunk)
-    from tinypathtracer_tpu.ops import traverse
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PipelineState:
+    """Everything the per-pixel render needs, as one replicable pytree:
+    the flattened scene, derived world-space trace data, and (for the
+    bvh intersector) the acceleration structure. Building this is the
+    per-frame 'transform + BVH rebuild' stage of the reference
+    (path_tracer.cu:536-545)."""
 
-    bvh = traverse.build_bvh(tri_verts)
-    return functools.partial(traverse.closest_hit_bvh, bvh=bvh,
-                             stack_depth=cfg.stack_depth)
+    scene: FlatScene
+    data: TraceData
+    bvh: Union[BVH, tuple]   # () when cfg.intersector == "bruteforce"
 
 
-def render_frame(scene: FlatScene, cfg: RenderConfig, key):
-    """Render one frame; returns the radiance SUM image [H, W, 3]
-    (divide by cfg.spp for the mean -- kept as a sum so progressive
-    accumulation across calls stays exact, cf. reference m_radiance).
-    """
+def prepare_state(scene: FlatScene, cfg: RenderConfig) -> PipelineState:
     data = TraceData.from_scene(scene)
-    closest_hit = make_intersector(cfg, data.tri_verts)
+    if cfg.intersector == "bvh":
+        bvh = build_lbvh(data.tri_verts)
+    else:
+        bvh = ()
+    return PipelineState(scene=scene, data=data, bvh=bvh)
 
-    w, h, spp = cfg.width, cfg.height, cfg.spp
-    n_pix = w * h
-    tile = min(cfg.tile_pixels, n_pix)
-    pad = (-n_pix) % tile
-    pix = jnp.arange(n_pix + pad, dtype=jnp.int32)
-    n_tiles = pix.shape[0] // tile
-    tiles = pix.reshape(n_tiles, tile)
 
-    yfov = scene.cam_yfov
-    aspect = scene.cam_aspect
+def _hit_fn(state: PipelineState, cfg: RenderConfig):
+    if cfg.intersector == "bvh":
+        return functools.partial(closest_hit_bvh, bvh=state.bvh,
+                                 stack_depth=cfg.stack_depth)
+    chunk = min(512, max(8, state.data.tri_verts.shape[0]))
+    return functools.partial(intersect.closest_hit_bruteforce,
+                             tri_verts=state.data.tri_verts, chunk=chunk)
+
+
+def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
+                     spp: Optional[int] = None):
+    """Radiance SUM over `spp` samples for a flat array of pixel ids.
+
+    pix: [P] int32 pixel ids in row-major (y * width + x) order; ids
+    >= width*height are padding lanes (rendered but discarded by the
+    caller). Returns [P, 3] float32. Dividing by spp gives the mean;
+    the sum form keeps progressive/multi-shard accumulation exact
+    (cf. the reference's m_radiance accumulator).
+    """
+    spp = cfg.spp if spp is None else spp
+    closest_hit = _hit_fn(state, cfg)
+    scene, data = state.scene, state.data
+    w, h = cfg.width, cfg.height
+
+    n = pix.shape[0]
+    tile = min(cfg.tile_pixels, n)
+    pad = (-n) % tile
+    pix_p = jnp.concatenate([pix, jnp.zeros((pad,), jnp.int32)]) if pad else pix
+    tiles = pix_p.reshape(-1, tile)
 
     def render_tile(tile_pix):
         px = tile_pix % w
@@ -71,7 +97,8 @@ def render_frame(scene: FlatScene, cfg: RenderConfig, key):
             k = jax.random.fold_in(jax.random.fold_in(key, tile_pix[0]), s)
             k_cam, k_path = jax.random.split(k)
             o, d = raygen.camera_rays(
-                k_cam, scene.cam_to_world, yfov, aspect, px, py, w, h)
+                k_cam, scene.cam_to_world, scene.cam_yfov, scene.cam_aspect,
+                px, py, w, h)
             rad = trace_paths(data, cfg, closest_hit, o, d, k_path)
             return carry + rad, None
 
@@ -79,15 +106,22 @@ def render_frame(scene: FlatScene, cfg: RenderConfig, key):
         acc, _ = lax.scan(sample, acc0, jnp.arange(spp, dtype=jnp.int32))
         return acc
 
-    out = lax.map(render_tile, tiles)                 # [n_tiles, tile, 3]
-    out = out.reshape(-1, 3)[:n_pix]
-    return out.reshape(h, w, 3)
+    out = lax.map(render_tile, tiles)
+    return out.reshape(-1, 3)[:n]
+
+
+def render_frame(scene: FlatScene, cfg: RenderConfig, key):
+    """Render one frame; returns the radiance SUM image [H, W, 3]."""
+    state = prepare_state(scene, cfg)
+    pix = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    rad = render_pixel_ids(state, cfg, pix, key)
+    return rad.reshape(cfg.height, cfg.width, 3)
 
 
 class Renderer:
     """Reusable jitted pipeline for a fixed config.
 
-    scene arrays are traced arguments, so moving the camera or editing
+    Scene arrays are traced arguments, so moving the camera or editing
     materials does NOT recompile -- only cfg changes do.
     """
 
