@@ -98,12 +98,14 @@ class GltfDocument:
 
 
 def _load_buffers(doc: dict, base_dir: str) -> List[bytes]:
+    from tinypathtracer_tpu.utils.native import b64_decode
+
     bufs = []
     for b in doc.get("buffers", []):
         uri = b.get("uri", "")
         if uri.startswith("data:"):
             _, payload = uri.split(",", 1)
-            bufs.append(base64.b64decode(payload))
+            bufs.append(b64_decode(payload))
         elif uri:
             with open(os.path.join(base_dir, uri), "rb") as f:
                 bufs.append(f.read())

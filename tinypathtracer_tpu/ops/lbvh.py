@@ -77,6 +77,24 @@ def morton30(centroids, scene_min, scene_max):
             | (_expand_bits10(q[:, 2]) << 2))
 
 
+def clz32(x):
+    """Count leading zeros of int32/uint32, branch-free shift ladder.
+
+    `lax.clz` exists but crashes the axon TPU runtime (observed worker
+    fault), and the reference's `__clzll` (bvh.cu:9-12) is a hardware
+    intrinsic we can't assume; 5 shift+select rounds on the VPU cost
+    nothing next to the surrounding gathers.
+    """
+    x = x.astype(jnp.uint32)
+    n = jnp.zeros_like(x)
+    for s in (16, 8, 4, 2, 1):
+        y = x >> s
+        keep = y != 0
+        n = jnp.where(keep, n, n + s)
+        x = jnp.where(keep, y, x)
+    return (n + (x == 0)).astype(jnp.int32)
+
+
 def _make_delta(codes):
     """delta(i, j): common-prefix length of augmented keys, -1 out of range.
 
@@ -85,15 +103,14 @@ def _make_delta(codes):
     such fallback).
     """
     f = codes.shape[0]
-    idx = jnp.arange(f, dtype=jnp.int32)
 
     def delta(i, j):
         valid = (j >= 0) & (j < f)
         js = jnp.clip(j, 0, f - 1)
         ci, cj = codes[i], codes[js]
         x = ci ^ cj
-        d_code = lax.clz(x)
-        d_tie = 32 + lax.clz(i ^ js)
+        d_code = clz32(x)
+        d_tie = 32 + clz32(i ^ js)
         d = jnp.where(x == 0, d_tie, d_code)
         return jnp.where(valid, d, -1)
 

@@ -44,11 +44,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from tinypathtracer_tpu.config import RenderConfig
-from tinypathtracer_tpu.models.envlight import env_lookup
+from tinypathtracer_tpu.models.envlight import (
+    EnvSamplingTables, build_env_tables, env_lookup, sample_env)
 from tinypathtracer_tpu.models.scene import FlatScene
 from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
+from tinypathtracer_tpu.ops.sampling import PI
 from tinypathtracer_tpu.ops.traverse import _ray_tri_single
-from tinypathtracer_tpu.utils.math3d import vnormalize
+from tinypathtracer_tpu.utils.math3d import vdot, vnormalize
 
 # closest_hit(origins [N,3], dirs [N,3]) -> (fid [N] i32, t [N], uv [N,2])
 HitFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
@@ -75,10 +77,17 @@ class TraceData:
     light_cos_outer: jnp.ndarray
     light_inv_cone: jnp.ndarray
     env_radiance: jnp.ndarray
+    # env importance-sampling tables (models/envlight.py): used by the
+    # physical estimator's NEE -- the machinery the reference built but
+    # never called (env_light.cuh:58-70)
+    env_marginal_cdf: jnp.ndarray
+    env_conditional_cdf: jnp.ndarray
+    env_pdf: jnp.ndarray
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "TraceData":
         wv, wn = scene.world_geometry()
+        tables = build_env_tables(scene.env_radiance)
         return TraceData(
             tri_verts=wv[scene.indices],
             world_normals=wn,
@@ -96,6 +105,9 @@ class TraceData:
             light_cos_outer=scene.light_cos_outer,
             light_inv_cone=scene.light_inv_cone,
             env_radiance=scene.env_radiance,
+            env_marginal_cdf=tables.marginal_cdf,
+            env_conditional_cdf=tables.conditional_cdf,
+            env_pdf=tables.pdf,
         )
 
 
@@ -153,16 +165,21 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         return fid, t, jnp.stack([u, v], axis=-1)
 
     def bounce(state, depth):
-        o, d, thr, rad, alive = state
+        o, d, thr, rad, alive, prev_spec = state
         k = jax.random.fold_in(key, depth)
-        k_bsdf, k_direct = jax.random.split(k)
+        k_bsdf, k_direct, k_env, k_rr = jax.random.split(k, 4)
 
         fid, t, uv = hit_query(o, d)
         miss = fid < 0
 
-        # Terminal: environment on miss (path_tracer.cu:358-362)
+        # Terminal: environment on miss (path_tracer.cu:358-362). In
+        # physical mode, diffuse bounces already account for the dome
+        # via env NEE below, so only camera/specular paths collect it
+        # here (prev_spec starts True).
         env = env_lookup(data.env_radiance, d) * cfg.env_scale
-        rad = rad + jnp.where((alive & miss)[:, None], thr * env, 0.0)
+        count_env = (alive & miss) if cfg.mode == "reference" \
+            else (alive & miss & prev_spec)
+        rad = rad + jnp.where(count_env[:, None], thr * env, 0.0)
 
         fid_s = jnp.maximum(fid, 0)
         tri_idx = data.indices[fid_s]                       # [N, 3]
@@ -189,13 +206,12 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         live = alive & ~miss & ~emissive
 
         # BSDF bounce: weight = baseColor * atten/p (path_tracer.cu:379-380)
-        next_dir, weight, _is_spec = bsdf.sample_bsdf(
+        next_dir, weight, is_spec = bsdf.sample_bsdf(
             k_bsdf, d, nrm, eta, metallic, base_color)
 
-        # Delta-light NEE (quirk: no cos / BRDF weighting)
-        direct = _direct_light(data, cfg, hit_pos, base_color, closest_hit)
-
         if cfg.mode == "reference":
+            # Delta-light NEE (quirk: no cos / BRDF weighting)
+            direct = _direct_light(data, cfg, hit_pos, base_color, closest_hit)
             # Extra direct-emitter sample for non-specular materials
             # (path_tracer.cu:387-401): a second BSDF draw; if it hits
             # anything, add that material's scalar emissionFactor.
@@ -207,13 +223,63 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             em2 = data.mtl_emission[data.face_mtl[jnp.maximum(fid2, 0)]]
             em2 = jnp.where(fid2 >= 0, em2, 0.0)
             direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]
+            # direct_d enters weighted by prod_{k<=d} a_k = thr * weight
+            # (the estimator folds this bounce's BSDF into the direct
+            # term -- an exact transcription of path_tracer.cu:427)
+            rad = rad + jnp.where(live[:, None], thr * weight * direct, 0.0)
+        else:
+            # Physical NEE on diffuse lanes: f = albedo/pi, weighted by
+            # cos(theta); specular lanes skip NEE (delta BSDF).
+            n_side = nrm * jnp.where(vdot(d, nrm) > 0.0, -1.0, 1.0)[:, None]
+            f_diff = base_color / PI
+            diffuse = live & ~is_spec
+            direct = jnp.zeros((n, 3), dtype=jnp.float32)
+            for li in range(data.light_kind.shape[0]):
+                wi, lrad, _dist = lights_ops.sample_delta_light(
+                    hit_pos, data.light_kind[li], data.light_color[li],
+                    data.light_intensity[li], data.light_pos[li],
+                    data.light_dir[li], data.light_cos_outer[li],
+                    data.light_inv_cone[li])
+                cos_l = jnp.maximum(vdot(wi, n_side), 0.0)
+                ofid, _t_, _u_ = closest_hit(lax.stop_gradient(hit_pos),
+                                             lax.stop_gradient(wi))
+                direct = direct + jnp.where((ofid < 0)[:, None],
+                                            f_diff * (cos_l * 1.0)[:, None] * lrad,
+                                            0.0)
+            # Env-light importance sampling wired into NEE (the
+            # reference built these tables but never called them,
+            # env_light.cuh:58-70 / SURVEY.md par. 2)
+            wi_e, pdf_e = sample_env(
+                k_env,
+                EnvSamplingTables(marginal_cdf=data.env_marginal_cdf,
+                                  conditional_cdf=data.env_conditional_cdf,
+                                  pdf=data.env_pdf),
+                n)
+            cos_e = jnp.maximum(vdot(wi_e, n_side), 0.0)
+            efid, _t2_, _u2_ = closest_hit(lax.stop_gradient(hit_pos),
+                                           lax.stop_gradient(wi_e))
+            env_e = env_lookup(data.env_radiance, wi_e) * cfg.env_scale
+            w_env = jnp.where(pdf_e > 0.0, cos_e / jnp.maximum(pdf_e, 1e-12), 0.0)
+            direct = direct + jnp.where((efid < 0)[:, None],
+                                        f_diff * w_env[:, None] * env_e, 0.0)
+            rad = rad + jnp.where(diffuse[:, None], thr * direct, 0.0)
 
-        # direct_d enters weighted by prod_{k<=d} a_k = thr * weight
-        rad = rad + jnp.where(live[:, None], thr * weight * direct, 0.0)
         thr = jnp.where(live[:, None], thr * weight, thr)
         o = jnp.where(live[:, None], hit_pos, o)
         d = jnp.where(live[:, None], next_dir, d)
-        return (o, d, thr, rad, live), None
+        prev_spec = jnp.where(live, is_spec, prev_spec)
+
+        # Russian roulette (physical mode only; not part of the
+        # reference estimator)
+        if cfg.mode == "physical" and cfg.russian_roulette:
+            p_sur = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            late = depth >= 3
+            u_rr = jax.random.uniform(k_rr, (n,), dtype=jnp.float32)
+            kill = live & late & (u_rr >= p_sur)
+            thr = jnp.where((live & late)[:, None], thr / p_sur[:, None], thr)
+            live = live & ~kill
+
+        return (o, d, thr, rad, live, prev_spec), None
 
     init = (
         origins,
@@ -221,7 +287,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         jnp.ones((n, 3), dtype=jnp.float32),
         jnp.zeros((n, 3), dtype=jnp.float32),
         jnp.ones((n,), dtype=bool),
+        jnp.ones((n,), dtype=bool),   # prev_spec: camera rays see the env
     )
-    (_, _, _, rad, _), _ = lax.scan(
+    (_, _, _, rad, _, _), _ = lax.scan(
         bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.int32))
     return rad

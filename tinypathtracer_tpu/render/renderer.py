@@ -69,7 +69,7 @@ def _hit_fn(state: PipelineState, cfg: RenderConfig):
 
 
 def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
-                     spp: Optional[int] = None):
+                     spp: Optional[int] = None, sample_offset: int = 0):
     """Radiance SUM over `spp` samples for a flat array of pixel ids.
 
     pix: [P] int32 pixel ids in row-major (y * width + x) order; ids
@@ -103,7 +103,10 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
             return carry + rad, None
 
         acc0 = jnp.zeros((tile, 3), dtype=jnp.float32)
-        acc, _ = lax.scan(sample, acc0, jnp.arange(spp, dtype=jnp.int32))
+        # absolute sample indices: progressive chunks resume the exact
+        # deterministic sequence (utils/checkpoint.ProgressiveRender)
+        acc, _ = lax.scan(sample, acc0,
+                          sample_offset + jnp.arange(spp, dtype=jnp.int32))
         return acc
 
     out = lax.map(render_tile, tiles)
@@ -133,6 +136,31 @@ class Renderer:
         """Returns the mean-radiance image [H, W, 3], top-down rows."""
         rad_sum = self._fn(scene, key=key)
         return film.to_image(rad_sum, self.cfg.spp)
+
+    def progressive(self, width=None, height=None):
+        """A resumable accumulator bound to this pipeline
+        (utils/checkpoint.ProgressiveRender)."""
+        import functools as _ft
+
+        from tinypathtracer_tpu.utils.checkpoint import ProgressiveRender
+
+        cfg = self.cfg
+
+        @_ft.lru_cache(maxsize=8)
+        def chunk_fn(n_samples):
+            def run(scene, key, sample_offset):
+                state = prepare_state(scene, cfg)
+                pix = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+                rad = render_pixel_ids(state, cfg, pix, key, spp=n_samples,
+                                       sample_offset=sample_offset)
+                return rad.reshape(cfg.height, cfg.width, 3)
+
+            return jax.jit(run, static_argnames=())
+
+        def fn(scene, key, sample_offset, n_samples):
+            return chunk_fn(n_samples)(scene, key, jnp.int32(sample_offset))
+
+        return ProgressiveRender(fn, cfg.width, cfg.height)
 
 
 def render(scene: Scene, cfg: RenderConfig, key,
