@@ -134,3 +134,17 @@ def test_jit_build_and_traverse():
     fid, t, uv = go(tris, o, d)
     f_bf, t_bf, _ = intersect.closest_hit_bruteforce(o, d, tris)
     np.testing.assert_array_equal(np.asarray(fid) >= 0, np.asarray(f_bf) >= 0)
+
+
+def test_host_bvh_source_matches_device(box_scene):
+    import jax
+    from tinypathtracer_tpu import RenderConfig, Renderer
+    from tinypathtracer_tpu.models.envlight import gradient_sky
+
+    flat = box_scene.flatten(env_radiance=gradient_sky(8, 16))
+    kw = dict(width=24, height=24, spp=2, max_depth=2,
+              intersector="bvh", tile_pixels=24 * 24)
+    key = jax.random.PRNGKey(0)
+    dev = np.asarray(Renderer(RenderConfig(bvh_source="device", **kw)).render(flat, key))
+    host = np.asarray(Renderer(RenderConfig(bvh_source="host", **kw)).render(flat, key))
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)

@@ -40,6 +40,11 @@ class RenderConfig:
     # Fixed traversal stack depth per ray (reference uses 64,
     # path_tracer.cu:64); LBVH depth for sorted morton codes is ~2*log2(n).
     stack_depth: int = 32
+    # Where the LBVH is built: "device" builds inside the jitted frame
+    # (the reference's rebuild-every-frame model, path_tracer.cu:540);
+    # "host" builds once per scene on CPU (csrc native builder) and
+    # ships the node arrays -- the right call for static scenes.
+    bvh_source: str = "device"
     # Environment light intensity scale applied on miss.
     env_scale: float = 1.0
     # Russian roulette is NOT part of the reference estimator; keep off
@@ -51,6 +56,8 @@ class RenderConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.intersector not in ("bruteforce", "bvh"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
+        if self.bvh_source not in ("device", "host"):
+            raise ValueError(f"unknown bvh_source {self.bvh_source!r}")
 
     @property
     def n_pixels(self) -> int:

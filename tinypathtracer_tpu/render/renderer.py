@@ -50,13 +50,52 @@ class PipelineState:
     bvh: Union[BVH, tuple]   # () when cfg.intersector == "bruteforce"
 
 
-def prepare_state(scene: FlatScene, cfg: RenderConfig) -> PipelineState:
+def prepare_state(scene: FlatScene, cfg: RenderConfig,
+                  prebuilt_bvh=None) -> PipelineState:
     data = TraceData.from_scene(scene)
-    if cfg.intersector == "bvh":
-        bvh = build_lbvh(data.tri_verts)
-    else:
+    if cfg.intersector != "bvh":
         bvh = ()
+    elif prebuilt_bvh is not None:
+        # host-built nodes (or any precomputed tree); re-point tri_verts
+        # at this frame's device geometry so shading stays differentiable
+        bvh = dataclasses.replace(prebuilt_bvh, tri_verts=data.tri_verts)
+    else:
+        bvh = build_lbvh(data.tri_verts)
     return PipelineState(scene=scene, data=data, bvh=bvh)
+
+
+def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
+    """Build the LBVH on the host CPU (native builder, with jnp-on-host
+    fallback) from the scene's world-space geometry.
+
+    Boxes are inflated by pad_rel so ulp-level differences between the
+    host transform and the device transform can never cull a true hit
+    (box tests only need to be conservative).
+    """
+    import numpy as np
+
+    verts = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    vm = np.asarray(scene.vert_mats)[np.asarray(scene.vert_obj)]
+    wv = np.einsum("vij,vj->vi", vm[:, :3, :3], verts) + vm[:, :3, 3]
+    tri = wv[idx].astype(np.float32)                     # [F, 3, 3]
+
+    from tinypathtracer_tpu.utils import native
+
+    out = native.build_lbvh_host(tri)
+    if out is None:  # no toolchain: fall back to the XLA builder on CPU
+        with jax.default_device(jax.devices("cpu")[0]):
+            return build_lbvh(jnp.asarray(tri))
+    pad = pad_rel * np.maximum(
+        1.0, np.abs(out["bmax"]) + np.abs(out["bmin"]))
+    return BVH(
+        left=jnp.asarray(out["left"]), right=jnp.asarray(out["right"]),
+        parent=jnp.asarray(out["parent"]),
+        leaf_fid=jnp.asarray(out["leaf_fid"]),
+        bmin=jnp.asarray(out["bmin"] - pad),
+        bmax=jnp.asarray(out["bmax"] + pad),
+        tri_verts=jnp.asarray(tri),
+    )
 
 
 def _hit_fn(state: PipelineState, cfg: RenderConfig):
@@ -113,9 +152,9 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
     return out.reshape(-1, 3)[:n]
 
 
-def render_frame(scene: FlatScene, cfg: RenderConfig, key):
+def render_frame(scene: FlatScene, cfg: RenderConfig, key, prebuilt_bvh=None):
     """Render one frame; returns the radiance SUM image [H, W, 3]."""
-    state = prepare_state(scene, cfg)
+    state = prepare_state(scene, cfg, prebuilt_bvh=prebuilt_bvh)
     pix = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     rad = render_pixel_ids(state, cfg, pix, key)
     return rad.reshape(cfg.height, cfg.width, 3)
@@ -131,10 +170,21 @@ class Renderer:
     def __init__(self, cfg: RenderConfig):
         self.cfg = cfg
         self._fn = jax.jit(functools.partial(render_frame, cfg=cfg))
+        self._bvh_cache = {}
+
+    def _bvh_for(self, scene: FlatScene):
+        if self.cfg.intersector != "bvh" or self.cfg.bvh_source != "host":
+            return None
+        cache_key = id(scene)
+        bvh = self._bvh_cache.get(cache_key)
+        if bvh is None:
+            bvh = host_build_bvh(scene)
+            self._bvh_cache = {cache_key: bvh}   # single-entry cache
+        return bvh
 
     def render(self, scene: FlatScene, key):
         """Returns the mean-radiance image [H, W, 3], top-down rows."""
-        rad_sum = self._fn(scene, key=key)
+        rad_sum = self._fn(scene, key=key, prebuilt_bvh=self._bvh_for(scene))
         return film.to_image(rad_sum, self.cfg.spp)
 
     def progressive(self, width=None, height=None):
