@@ -31,7 +31,8 @@ class RenderConfig:
     mode: str = "reference"
     # Intersection backend: "bruteforce" tests every ray against every
     # triangle (exact oracle; fine for tiny scenes / tests), "bvh" uses
-    # the LBVH + vectorized traversal (default for real renders).
+    # the binary LBVH + lockstep traversal, "wbvh" the 8-ary wide BVH
+    # (host-collapsed; densest per-step vector work, default for TPU).
     intersector: str = "bvh"
     # Rays are processed in tiles of this many pixels to bound memory
     # (the analogue of the reference's 16x16 CUDA blocks, but sized for
@@ -54,7 +55,7 @@ class RenderConfig:
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.intersector not in ("bruteforce", "bvh"):
+        if self.intersector not in ("bruteforce", "bvh", "wbvh"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.bvh_source not in ("device", "host"):
             raise ValueError(f"unknown bvh_source {self.bvh_source!r}")

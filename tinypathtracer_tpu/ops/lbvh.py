@@ -78,21 +78,24 @@ def morton30(centroids, scene_min, scene_max):
 
 
 def clz32(x):
-    """Count leading zeros of int32/uint32, branch-free shift ladder.
+    """Count leading zeros of a NON-NEGATIVE int32, branch-free ladder.
 
-    `lax.clz` exists but crashes the axon TPU runtime (observed worker
-    fault), and the reference's `__clzll` (bvh.cu:9-12) is a hardware
-    intrinsic we can't assume; 5 shift+select rounds on the VPU cost
-    nothing next to the surrounding gathers.
+    `lax.clz` (and, observed separately, uint32 arithmetic) crashes the
+    axon TPU runtime, and the reference's `__clzll` (bvh.cu:9-12) is a
+    hardware intrinsic we can't assume -- so this stays strictly in
+    int32: for non-negative inputs an arithmetic right shift equals the
+    logical one, and every value here (30-bit morton codes, index XORs)
+    is non-negative. 5 shift+select rounds on the VPU cost nothing next
+    to the surrounding gathers.
     """
-    x = x.astype(jnp.uint32)
+    x = x.astype(jnp.int32)
     n = jnp.zeros_like(x)
     for s in (16, 8, 4, 2, 1):
         y = x >> s
         keep = y != 0
         n = jnp.where(keep, n, n + s)
         x = jnp.where(keep, y, x)
-    return (n + (x == 0)).astype(jnp.int32)
+    return n + (x == 0).astype(jnp.int32)
 
 
 def _make_delta(codes):
@@ -160,7 +163,9 @@ def build_lbvh(tri_verts) -> BVH:
         cond = active & (delta(i, i + lmax * d) > delta_min)
         return jnp.where(cond, lmax << 1, lmax), cond
 
-    lmax, _ = lax.fori_loop(0, 32, grow,
+    # 24 doublings reach lmax = 2^25 > any f we build for, and keep
+    # lmax * d away from int32 overflow
+    lmax, _ = lax.fori_loop(0, 24, grow,
                             (jnp.full(f - 1, 2, jnp.int32), jnp.ones(f - 1, bool)))
 
     # Binary search for the exact range end (bvh.cu:88-98): per-lane

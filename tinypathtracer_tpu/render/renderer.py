@@ -53,15 +53,35 @@ class PipelineState:
 def prepare_state(scene: FlatScene, cfg: RenderConfig,
                   prebuilt_bvh=None) -> PipelineState:
     data = TraceData.from_scene(scene)
-    if cfg.intersector != "bvh":
+    if cfg.intersector == "bruteforce":
         bvh = ()
     elif prebuilt_bvh is not None:
         # host-built nodes (or any precomputed tree); re-point tri_verts
         # at this frame's device geometry so shading stays differentiable
         bvh = dataclasses.replace(prebuilt_bvh, tri_verts=data.tri_verts)
+    elif cfg.intersector == "wbvh":
+        raise ValueError("intersector='wbvh' is host-collapsed: pass "
+                         "prebuilt_bvh (Renderer does this automatically)")
     else:
         bvh = build_lbvh(data.tri_verts)
     return PipelineState(scene=scene, data=data, bvh=bvh)
+
+
+def _host_world_tris(scene: FlatScene):
+    import numpy as np
+
+    verts = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    vm = np.asarray(scene.vert_mats)[np.asarray(scene.vert_obj)]
+    wv = np.einsum("vij,vj->vi", vm[:, :3, :3], verts) + vm[:, :3, 3]
+    return wv[idx].astype(np.float32)
+
+
+def host_build_wide_bvh(scene: FlatScene, leaf_k: int = 4):
+    """Host-side wide-BVH build from the scene's world geometry."""
+    from tinypathtracer_tpu.ops.wide_bvh import build_wide_host
+
+    return build_wide_host(_host_world_tris(scene), leaf_k=leaf_k)
 
 
 def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
@@ -74,11 +94,7 @@ def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
     """
     import numpy as np
 
-    verts = np.asarray(scene.vertices)
-    idx = np.asarray(scene.indices)
-    vm = np.asarray(scene.vert_mats)[np.asarray(scene.vert_obj)]
-    wv = np.einsum("vij,vj->vi", vm[:, :3, :3], verts) + vm[:, :3, 3]
-    tri = wv[idx].astype(np.float32)                     # [F, 3, 3]
+    tri = _host_world_tris(scene)                        # [F, 3, 3]
 
     from tinypathtracer_tpu.utils import native
 
@@ -101,6 +117,11 @@ def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
 def _hit_fn(state: PipelineState, cfg: RenderConfig):
     if cfg.intersector == "bvh":
         return functools.partial(closest_hit_bvh, bvh=state.bvh,
+                                 stack_depth=cfg.stack_depth)
+    if cfg.intersector == "wbvh":
+        from tinypathtracer_tpu.ops.wide_bvh import closest_hit_wbvh
+
+        return functools.partial(closest_hit_wbvh, wbvh=state.bvh,
                                  stack_depth=cfg.stack_depth)
     chunk = min(512, max(8, state.data.tri_verts.shape[0]))
     return functools.partial(intersect.closest_hit_bruteforce,
@@ -173,12 +194,18 @@ class Renderer:
         self._bvh_cache = {}
 
     def _bvh_for(self, scene: FlatScene):
-        if self.cfg.intersector != "bvh" or self.cfg.bvh_source != "host":
+        cfg = self.cfg
+        want_host = (cfg.intersector == "wbvh"
+                     or (cfg.intersector == "bvh" and cfg.bvh_source == "host"))
+        if not want_host:
             return None
         cache_key = id(scene)
         bvh = self._bvh_cache.get(cache_key)
         if bvh is None:
-            bvh = host_build_bvh(scene)
+            if cfg.intersector == "wbvh":
+                bvh = host_build_wide_bvh(scene)
+            else:
+                bvh = host_build_bvh(scene)
             self._bvh_cache = {cache_key: bvh}   # single-entry cache
         return bvh
 
