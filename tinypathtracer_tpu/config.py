@@ -29,11 +29,13 @@ class RenderConfig:
     # direct-bounce emitter sample; see render/integrator.py).
     # "physical" is the physically-correct estimator.
     mode: str = "reference"
-    # Intersection backend: "bruteforce" tests every ray against every
-    # triangle (exact oracle; fine for tiny scenes / tests), "bvh" uses
-    # the binary LBVH + lockstep traversal, "wbvh" the 8-ary wide BVH
-    # (host-collapsed; densest per-step vector work, default for TPU).
-    intersector: str = "bvh"
+    # Intersection backend: "dense" (default) tests every ray against
+    # every triangle as tiled [rays x tris] VPU work with hoisted Woop
+    # transforms -- a Pallas kernel on TPU, the fastest path for the
+    # scene sizes the reference ships (ops/dense.py); "bruteforce" is
+    # the plain Moller-Trumbore oracle; "bvh" the binary LBVH +
+    # lockstep traversal; "wbvh" the host-collapsed 8-ary wide BVH.
+    intersector: str = "dense"
     # Rays are processed in tiles of this many pixels to bound memory
     # (the analogue of the reference's 16x16 CUDA blocks, but sized for
     # VPU lanes / VMEM instead of warps).
@@ -55,7 +57,7 @@ class RenderConfig:
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.intersector not in ("bruteforce", "bvh", "wbvh"):
+        if self.intersector not in ("dense", "bruteforce", "bvh", "wbvh"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.bvh_source not in ("device", "host"):
             raise ValueError(f"unknown bvh_source {self.bvh_source!r}")

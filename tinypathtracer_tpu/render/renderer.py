@@ -55,6 +55,10 @@ def prepare_state(scene: FlatScene, cfg: RenderConfig,
     data = TraceData.from_scene(scene)
     if cfg.intersector == "bruteforce":
         bvh = ()
+    elif cfg.intersector == "dense":
+        from tinypathtracer_tpu.ops.dense import precompute_woop
+
+        bvh = precompute_woop(data.tri_verts)
     elif prebuilt_bvh is not None:
         # host-built nodes (or any precomputed tree); re-point tri_verts
         # at this frame's device geometry so shading stays differentiable
@@ -115,6 +119,10 @@ def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
 
 
 def _hit_fn(state: PipelineState, cfg: RenderConfig):
+    if cfg.intersector == "dense":
+        from tinypathtracer_tpu.ops.dense import closest_hit_dense
+
+        return functools.partial(closest_hit_dense, woop=state.bvh)
     if cfg.intersector == "bvh":
         return functools.partial(closest_hit_bvh, bvh=state.bvh,
                                  stack_depth=cfg.stack_depth)
