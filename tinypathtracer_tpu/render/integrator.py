@@ -83,13 +83,35 @@ class TraceData:
     env_marginal_cdf: jnp.ndarray
     env_conditional_cdf: jnp.ndarray
     env_pdf: jnp.ndarray
+    # Fused per-face shading table [F, 24]: corner normals (9), base
+    # color (3), emission (1), eta (1), metallic (1), triangle
+    # vertices (9). One row gather per bounce replaces ~12
+    # separate gathers (two-level for normals) -- on TPU the bounce
+    # glue between intersection kernels is gather-bound, so packing is
+    # a direct wall-clock win. Gradients flow through the pack gather
+    # to vertices/normals/materials exactly as they did through the
+    # individual gathers.
+    face_pack: jnp.ndarray
+    face_emission: jnp.ndarray   # [F] emission only, for cheap lookups
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "TraceData":
         wv, wn = scene.world_geometry()
         tables = build_env_tables(scene.env_radiance)
+        tri_verts = wv[scene.indices]
+        corner_n = wn[scene.indices]                       # [F, 3, 3]
+        f = scene.indices.shape[0]
+        face_emission = scene.mtl_emission[scene.face_mtl]
+        face_pack = jnp.concatenate([
+            corner_n.reshape(f, 9),
+            scene.mtl_base_color[scene.face_mtl],
+            face_emission[:, None],
+            scene.mtl_eta[scene.face_mtl][:, None],
+            scene.mtl_metallic[scene.face_mtl][:, None],
+            tri_verts.reshape(f, 9),
+        ], axis=1)
         return TraceData(
-            tri_verts=wv[scene.indices],
+            tri_verts=tri_verts,
             world_normals=wn,
             indices=scene.indices,
             face_mtl=scene.face_mtl,
@@ -108,6 +130,8 @@ class TraceData:
             env_marginal_cdf=tables.marginal_cdf,
             env_conditional_cdf=tables.conditional_cdf,
             env_pdf=tables.pdf,
+            face_pack=face_pack,
+            face_emission=face_emission,
         )
 
 
@@ -160,16 +184,14 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         fid, _t, _uv = jax.tree_util.tree_map(
             lax.stop_gradient, closest_hit(lax.stop_gradient(o),
                                            lax.stop_gradient(d)))
-        tri = data.tri_verts[jnp.maximum(fid, 0)]
-        t, u, v, _ok = _ray_tri_single(o, d, tri[:, 0], tri[:, 1], tri[:, 2])
-        return fid, t, jnp.stack([u, v], axis=-1)
+        return fid
 
     def bounce(state, depth):
         o, d, thr, rad, alive, prev_spec = state
         k = jax.random.fold_in(key, depth)
         k_bsdf, k_direct, k_env, k_rr = jax.random.split(k, 4)
 
-        fid, t, uv = hit_query(o, d)
+        fid = hit_query(o, d)
         miss = fid < 0
 
         # Terminal: environment on miss (path_tracer.cu:358-362). In
@@ -181,21 +203,22 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             else (alive & miss & prev_spec)
         rad = rad + jnp.where(count_env[:, None], thr * env, 0.0)
 
-        fid_s = jnp.maximum(fid, 0)
-        tri_idx = data.indices[fid_s]                       # [N, 3]
-        u_, v_ = uv[:, 0], uv[:, 1]
+        # One fused row gather, then the differentiable t/uv recompute
+        # against the winning triangle (see hit_query docstring).
+        pack = data.face_pack[jnp.maximum(fid, 0)]          # [N, 24]
+        t, u_, v_, _ok = _ray_tri_single(
+            o, d, pack[:, 15:18], pack[:, 18:21], pack[:, 21:24])
         w_ = 1.0 - u_ - v_
-        nrm = (w_[:, None] * data.world_normals[tri_idx[:, 0]]
-               + u_[:, None] * data.world_normals[tri_idx[:, 1]]
-               + v_[:, None] * data.world_normals[tri_idx[:, 2]])
+        nrm = (w_[:, None] * pack[:, 0:3]
+               + u_[:, None] * pack[:, 3:6]
+               + v_[:, None] * pack[:, 6:9])
         nrm = vnormalize(nrm, eps=1e-20)  # eps: degenerate interpolated normals
         hit_pos = o + t[:, None] * d
 
-        mi = data.face_mtl[fid_s]
-        emission = data.mtl_emission[mi]
-        base_color = data.mtl_base_color[mi]
-        eta = data.mtl_eta[mi]
-        metallic = data.mtl_metallic[mi]
+        base_color = pack[:, 9:12]
+        emission = pack[:, 12]
+        eta = pack[:, 13]
+        metallic = pack[:, 14]
 
         # Terminal: emissive hit contributes the raw scalar emission
         # (path_tracer.cu:408-412, 421-423)
@@ -220,7 +243,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
                 k_direct, d, nrm, eta, metallic, base_color)
             fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(hit_pos),
                                           lax.stop_gradient(dir2))
-            em2 = data.mtl_emission[data.face_mtl[jnp.maximum(fid2, 0)]]
+            em2 = data.face_emission[jnp.maximum(fid2, 0)]
             em2 = jnp.where(fid2 >= 0, em2, 0.0)
             direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]
             # direct_d enters weighted by prod_{k<=d} a_k = thr * weight
