@@ -9,7 +9,7 @@ vs_baseline is measured against the BASELINE.json north-star target of
 
 Env overrides (all optional):
   BENCH_WIDTH/HEIGHT/SPP/DEPTH  workload shape (default 512x512@16, d8)
-  BENCH_INTERSECTOR             "bvh" (default) | "bruteforce"
+  BENCH_INTERSECTOR             "dense" (default) | "bvh" | "wbvh" | "bruteforce"
   BENCH_REPEATS                 timed repetitions (default 3, best-of)
 """
 
@@ -32,7 +32,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 512))
     spp = int(os.environ.get("BENCH_SPP", 16))
     depth = int(os.environ.get("BENCH_DEPTH", 8))
-    intersector = os.environ.get("BENCH_INTERSECTOR", "bvh")
+    intersector = os.environ.get("BENCH_INTERSECTOR", "dense")
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     scene = load_scene("/root/reference/input/box.gltf")

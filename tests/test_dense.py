@@ -44,9 +44,32 @@ def test_pallas_interpret_matches_xla_twin():
     woop = precompute_woop(tris)
     rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2), jnp.float32)], 1)
     t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
-    t_p, f_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz, interpret=True)
+    ones = jnp.ones((rays.shape[0], 1), jnp.int32)
+    t_p, f_p = _dense_pallas(rays, ones, woop.wx, woop.wy, woop.wz,
+                             interpret=True)
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+
+
+@pytest.mark.parametrize("impl", ["xla", "interpret"])
+def test_mask_compaction_semantics(impl, monkeypatch):
+    """Masked lanes report miss; live lanes match the unmasked call
+    bit-for-bit (the stable partition must not change any result)."""
+    monkeypatch.setenv("TPT_DENSE_IMPL", impl)
+    tris, o, d = _random_scene(f=300, n=777, seed=5)
+    woop = precompute_woop(tris)
+    rng = np.random.default_rng(9)
+    mask = jnp.asarray(rng.random(777) < 0.37)
+    f0, t0, _ = closest_hit_dense(o, d, woop)
+    fm, tm, _ = closest_hit_dense(o, d, woop, mask=mask)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(np.asarray(fm)[m], np.asarray(f0)[m])
+    np.testing.assert_array_equal(np.asarray(tm)[m], np.asarray(t0)[m])
+    assert (np.asarray(fm)[~m] == -1).all()
+    for edge in (jnp.zeros(777, bool), jnp.ones(777, bool)):
+        fe, _, _ = closest_hit_dense(o, d, woop, mask=edge)
+        ref = np.where(np.asarray(edge), np.asarray(f0), -1)
+        np.testing.assert_array_equal(np.asarray(fe), ref)
 
 
 def test_degenerate_and_padding_never_hit():

@@ -128,7 +128,7 @@ def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
     return jnp.where(ok, t, REAL_MAX)
 
 
-def _dense_kernel(rays_ref, wx_ref, wy_ref, wz_ref, t_ref, fid_ref):
+def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, t_ref, fid_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -136,27 +136,36 @@ def _dense_kernel(rays_ref, wx_ref, wy_ref, wz_ref, t_ref, fid_ref):
         t_ref[:] = jnp.full_like(t_ref, REAL_MAX)
         fid_ref[:] = jnp.full_like(fid_ref, -1)
 
-    r = rays_ref[:]
-    tc = _hit_planes(r[:, 0:1], r[:, 1:2], r[:, 2:3],
-                     r[:, 3:4], r[:, 4:5], r[:, 5:6],
-                     wx_ref[:], wy_ref[:], wz_ref[:], t_ref[:])
-    row_t = jnp.min(tc, axis=1, keepdims=True)                    # [TN, 1]
-    lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
-    row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
-                    axis=1, keepdims=True)
-    better = row_t < t_ref[:]
-    fid_ref[:] = jnp.where(better, j * tc.shape[1] + row_i, fid_ref[:])
-    t_ref[:] = jnp.where(better, row_t, t_ref[:])
+    # Dead-lane compaction: the caller stable-partitions rays so inactive
+    # lanes cluster into whole ray tiles; a tile with no active lane
+    # skips the test entirely (its outputs stay at the j==0 miss values).
+    # This is the TPU form of wavefront stream compaction (SURVEY.md
+    # par. 7 phase 3) -- shapes stay static, work becomes proportional
+    # to ceil(live/TN) instead of N.
+    @pl.when(jnp.any(mask_ref[:] != 0))
+    def _():
+        r = rays_ref[:]
+        tc = _hit_planes(r[:, 0:1], r[:, 1:2], r[:, 2:3],
+                         r[:, 3:4], r[:, 4:5], r[:, 5:6],
+                         wx_ref[:], wy_ref[:], wz_ref[:], t_ref[:])
+        row_t = jnp.min(tc, axis=1, keepdims=True)                # [TN, 1]
+        lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
+        row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
+                        axis=1, keepdims=True)
+        better = row_t < t_ref[:]
+        fid_ref[:] = jnp.where(better, j * tc.shape[1] + row_i, fid_ref[:])
+        t_ref[:] = jnp.where(better, row_t, t_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
-def _dense_pallas(rays, wx, wy, wz, tile_rays: int = TILE_RAYS,
+def _dense_pallas(rays, mask, wx, wy, wz, tile_rays: int = TILE_RAYS,
                   interpret: bool = False):
     n = rays.shape[0]
     fp = wx.shape[1]
     tn = min(tile_rays, max(8, n))
     pad = (-n) % tn
     rays_p = jnp.pad(rays, ((0, pad), (0, 0))) if pad else rays
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask
     np_ = rays_p.shape[0]
     tf = min(TILE_TRIS, fp)
     grid = (np_ // tn, fp // tf)
@@ -166,6 +175,8 @@ def _dense_pallas(rays, wx, wy, wz, tile_rays: int = TILE_RAYS,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -187,7 +198,7 @@ def _dense_pallas(rays, wx, wy, wz, tile_rays: int = TILE_RAYS,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(rays_p, wx, wy, wz)
+    )(rays_p, mask_p, wx, wy, wz)
     return t[:n, 0], fid[:n, 0]
 
 
@@ -232,8 +243,25 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _partition_live(mask):
+    """Stable partition permutation: live lanes first, order preserved.
+
+    Returns (pos, perm): pos[l] is lane l's slot in the packed order
+    (and thus the gather map packed->original results); perm is the
+    inverse (original index occupying each packed slot).
+    """
+    n = mask.shape[0]
+    mi = mask.astype(jnp.int32)
+    c = jnp.cumsum(mi)
+    total = c[-1]
+    i = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(mask, c - 1, total + i - c)
+    perm = jnp.zeros((n,), jnp.int32).at[pos].set(i)
+    return pos, perm
+
+
 def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
-                      with_uv: bool = False):
+                      with_uv: bool = False, mask=None):
     """Closest hit against all triangles. origins/dirs: [N, 3].
 
     Returns (fid [N] i32 (-1 = miss), t [N] f32, uv [N, 2] f32). By
@@ -242,24 +270,42 @@ def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
     and the winner-gather this saves is a measurable fraction of a
     bounce on TPU. Pass with_uv=True for the full contract (tests,
     standalone use).
+
+    mask ([N] bool, optional): lanes with mask=False are dead (their
+    result is forced to miss). On the Pallas path, rays are stable-
+    partitioned so dead lanes cluster into whole ray tiles the kernel
+    skips -- intersection work scales with the LIVE ray count, the TPU
+    equivalent of wavefront compaction between bounces. Results for
+    live lanes are bit-identical to the unmasked call.
     """
+    n = origins.shape[0]
     rays = jnp.concatenate(
-        [origins, dirs, jnp.zeros((origins.shape[0], 2), origins.dtype)],
-        axis=1)
+        [origins, dirs, jnp.zeros((n, 2), origins.dtype)], axis=1)
     impl = os.environ.get("TPT_DENSE_IMPL", "auto")
-    if impl == "interpret":
-        t, fid = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
-                               tile_rays=tile_rays, interpret=True)
-    elif _use_pallas():
-        t, fid = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
-                               tile_rays=tile_rays)
+    use_pallas = impl == "interpret" or (impl != "xla" and _use_pallas())
+    if use_pallas:
+        if mask is not None:
+            pos, perm = _partition_live(mask)
+            t, fid = _dense_pallas(rays[perm],
+                                   mask[perm].astype(jnp.int32)[:, None],
+                                   woop.wx, woop.wy, woop.wz,
+                                   tile_rays=tile_rays,
+                                   interpret=impl == "interpret")
+            t, fid = t[pos], fid[pos]
+        else:
+            t, fid = _dense_pallas(rays, jnp.ones((n, 1), jnp.int32),
+                                   woop.wx, woop.wy, woop.wz,
+                                   tile_rays=tile_rays,
+                                   interpret=impl == "interpret")
     else:
         t, fid = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
     fid = jnp.where(fid >= woop.n_faces, -1, fid)   # padding can't win, but be safe
+    if mask is not None:
+        fid = jnp.where(mask, fid, -1)
     t = jnp.where(fid < 0, REAL_MAX, t)
     if with_uv:
         return fid, t, _winner_uv(origins, dirs, woop, fid)
-    return fid, t, jnp.zeros((origins.shape[0], 2), jnp.float32)
+    return fid, t, jnp.zeros((n, 2), jnp.float32)
 
 
 def _winner_uv(origins, dirs, woop: WoopTris, fid):

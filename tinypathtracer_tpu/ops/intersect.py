@@ -65,11 +65,14 @@ def ray_aabb(origins, inv_dirs, box_min, box_max):
     return near <= far
 
 
-def closest_hit_bruteforce(origins, dirs, tri_verts, chunk=512):
+def closest_hit_bruteforce(origins, dirs, tri_verts, chunk=512, mask=None):
     """Exact closest hit against every triangle.
 
     origins, dirs: [N, 3]; tri_verts: [F, 3, 3] (face-major world-space
     vertices). Returns (fid [N] i32, t [N], uv [N, 2]); fid == -1 on miss.
+    Lanes with mask=False (optional [N] bool) are forced to miss -- the
+    oracle computes them anyway; the arg exists for backend-uniform
+    results (ops/dense.py skips them).
 
     Scans face chunks to bound the [N, chunk] working set; the running
     (t, fid, uv) minimum is carried across chunks. Ties on t resolve to
@@ -110,6 +113,10 @@ def closest_hit_bruteforce(origins, dirs, tri_verts, chunk=512):
     )
     (best_t, best_fid, best_uv), _ = lax.scan(
         body, init, (tv, jnp.arange(n_chunks, dtype=jnp.int32)))
+    if mask is not None:
+        best_fid = jnp.where(mask, best_fid, -1)
+        best_t = jnp.where(mask, best_t, REAL_MAX)
+        best_uv = jnp.where(mask[:, None], best_uv, 0.0)
     return best_fid, best_t, best_uv
 
 

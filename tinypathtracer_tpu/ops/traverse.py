@@ -58,11 +58,14 @@ def _ray_tri_single(o, d, v0, v1, v2):
     return t, u, v, ok
 
 
-def closest_hit_bvh(origins, dirs, bvh: BVH, stack_depth: int = 32):
+def closest_hit_bvh(origins, dirs, bvh: BVH, stack_depth: int = 32,
+                    mask=None):
     """Closest hit via lockstep stack traversal.
 
     origins, dirs: [N, 3]. Returns (fid [N] i32 (-1 = miss), t [N],
     uv [N, 2]) with semantics identical to closest_hit_bruteforce.
+    Lanes with mask=False (optional [N] bool) start with an empty stack:
+    they do no traversal work and report miss (dead-lane compaction).
     """
     n = origins.shape[0]
     f = bvh.n_faces
@@ -72,6 +75,8 @@ def closest_hit_bvh(origins, dirs, bvh: BVH, stack_depth: int = 32):
 
     stack = jnp.zeros((n, stack_depth), jnp.int32)  # [:, 0] holds root 0
     sp = jnp.ones((n,), jnp.int32)
+    if mask is not None:
+        sp = jnp.where(mask, sp, 0)
 
     init = (
         stack, sp,

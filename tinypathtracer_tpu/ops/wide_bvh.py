@@ -191,9 +191,11 @@ def build_wide_host(tri_verts_np: np.ndarray, leaf_k: int = 4,
     return collapse_wide(out, jnp.asarray(tri_verts_np), leaf_k=leaf_k)
 
 
-def closest_hit_wbvh(origins, dirs, wbvh: WideBVH, stack_depth: int = 24):
+def closest_hit_wbvh(origins, dirs, wbvh: WideBVH, stack_depth: int = 24,
+                     mask=None):
     """Closest hit over the wide tree; same result semantics as the
-    binary traversal / brute force (DELTA < t < best)."""
+    binary traversal / brute force (DELTA < t < best). Lanes with
+    mask=False start with an empty stack (no work, report miss)."""
     n = origins.shape[0]
     k = wbvh.leaf_k
     nk = FANOUT * k
@@ -203,6 +205,8 @@ def closest_hit_wbvh(origins, dirs, wbvh: WideBVH, stack_depth: int = 24):
 
     stack = jnp.zeros((n, stack_depth), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)
+    if mask is not None:
+        sp = jnp.where(mask, sp, 0)
     rows = jnp.arange(n)
 
     init = (

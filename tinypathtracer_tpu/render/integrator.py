@@ -52,8 +52,10 @@ from tinypathtracer_tpu.ops.sampling import PI
 from tinypathtracer_tpu.ops.traverse import _ray_tri_single
 from tinypathtracer_tpu.utils.math3d import vdot, vnormalize
 
-# closest_hit(origins [N,3], dirs [N,3]) -> (fid [N] i32, t [N], uv [N,2])
-HitFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+# closest_hit(origins [N,3], dirs [N,3], mask=[N] bool or None)
+#   -> (fid [N] i32, t [N], uv [N,2]); mask=False lanes report miss and
+#   (backend permitting) cost no intersection work.
+HitFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
 
 @jax.tree_util.register_dataclass
@@ -136,11 +138,13 @@ class TraceData:
 
 
 def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
-                  any_hit: HitFn):
+                  any_hit: HitFn, live):
     """Delta-light NEE (reference sampleDeltaLights, path_tracer.cu:265-286).
 
     One shadow ray per light per lane; the light count is static so the
-    loop unrolls into L independent masked occlusion queries.
+    loop unrolls into L independent masked occlusion queries. Only
+    `live` lanes trace (dead lanes' contributions are discarded by the
+    caller's mask anyway).
     """
     n = hit_pos.shape[0]
     direct = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -152,7 +156,8 @@ def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
             data.light_cos_outer[li], data.light_inv_cone[li])
         # Occlusion is purely combinatorial: detach it from autodiff so
         # while_loop-based backends never see tangents.
-        fid, _t, _uv = any_hit(lax.stop_gradient(hit_pos), lax.stop_gradient(wi))
+        fid, _t, _uv = any_hit(lax.stop_gradient(hit_pos),
+                               lax.stop_gradient(wi), mask=live)
         unoccluded = fid < 0
         contrib = base_color * lrad
         direct = direct + jnp.where(unoccluded[:, None], contrib, 0.0)
@@ -168,7 +173,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     """
     n = origins.shape[0]
 
-    def hit_query(o, d):
+    def hit_query(o, d, mask):
         """Closest hit with the discrete part detached from autodiff.
 
         The winning face id comes from the (non-differentiable,
@@ -183,7 +188,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         """
         fid, _t, _uv = jax.tree_util.tree_map(
             lax.stop_gradient, closest_hit(lax.stop_gradient(o),
-                                           lax.stop_gradient(d)))
+                                           lax.stop_gradient(d),
+                                           mask=mask))
         return fid
 
     def bounce(state, depth):
@@ -191,7 +197,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         k = jax.random.fold_in(key, depth)
         k_bsdf, k_direct, k_env, k_rr = jax.random.split(k, 4)
 
-        fid = hit_query(o, d)
+        fid = hit_query(o, d, alive)
         miss = fid < 0
 
         # Terminal: environment on miss (path_tracer.cu:358-362). In
@@ -234,7 +240,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
 
         if cfg.mode == "reference":
             # Delta-light NEE (quirk: no cos / BRDF weighting)
-            direct = _direct_light(data, cfg, hit_pos, base_color, closest_hit)
+            direct = _direct_light(data, cfg, hit_pos, base_color,
+                                   closest_hit, live)
             # Extra direct-emitter sample for non-specular materials
             # (path_tracer.cu:387-401): a second BSDF draw; if it hits
             # anything, add that material's scalar emissionFactor.
@@ -242,7 +249,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             dir2, _w2, _s2 = bsdf.sample_bsdf(
                 k_direct, d, nrm, eta, metallic, base_color)
             fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(hit_pos),
-                                          lax.stop_gradient(dir2))
+                                          lax.stop_gradient(dir2),
+                                          mask=live & do_extra)
             em2 = data.face_emission[jnp.maximum(fid2, 0)]
             em2 = jnp.where(fid2 >= 0, em2, 0.0)
             direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]
@@ -265,7 +273,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
                     data.light_inv_cone[li])
                 cos_l = jnp.maximum(vdot(wi, n_side), 0.0)
                 ofid, _t_, _u_ = closest_hit(lax.stop_gradient(hit_pos),
-                                             lax.stop_gradient(wi))
+                                             lax.stop_gradient(wi),
+                                             mask=diffuse)
                 direct = direct + jnp.where((ofid < 0)[:, None],
                                             f_diff * (cos_l * 1.0)[:, None] * lrad,
                                             0.0)
@@ -280,7 +289,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
                 n)
             cos_e = jnp.maximum(vdot(wi_e, n_side), 0.0)
             efid, _t2_, _u2_ = closest_hit(lax.stop_gradient(hit_pos),
-                                           lax.stop_gradient(wi_e))
+                                           lax.stop_gradient(wi_e),
+                                           mask=diffuse)
             env_e = env_lookup(data.env_radiance, wi_e) * cfg.env_scale
             w_env = jnp.where(pdf_e > 0.0, cos_e / jnp.maximum(pdf_e, 1e-12), 0.0)
             direct = direct + jnp.where((efid < 0)[:, None],
