@@ -46,7 +46,7 @@ def test_pallas_interpret_matches_xla_twin():
     t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
     ones = jnp.ones((rays.shape[0], 1), jnp.int32)
     t_p, f_p = _dense_pallas(rays, ones, woop.wx, woop.wy, woop.wz,
-                             interpret=True)
+                             woop.cl_boxes, interpret=True)
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
 

@@ -28,8 +28,16 @@ Two layers:
     running (best_t, best_fid) minimum. On TPU it is a Pallas kernel
     (grid over ray tiles x tri tiles, output block revisited across the
     tri axis like a matmul accumulator, everything VMEM-resident); on
-    CPU an op-for-op identical jnp scan, so images match across
-    backends.
+    CPU an jnp scan with identical hit semantics, so images match
+    across backends.
+
+  * two levels of lockstep work-skipping inside the kernel: dead ray
+    tiles (wavefront compaction -- see the `mask` arg) and per-cluster
+    AABB culling: triangles are morton-sorted into CLUSTER-wide runs
+    whose AABBs ride in SMEM; a [rays x CLUSTER] block only runs if
+    some live ray's slab test passes with near <= its running best t.
+    Both tests are tile-granular, so the hot loop stays gather-free
+    and branch-free -- the TPU answer to BVH traversal divergence.
 
 Hit semantics match `closest_hit_bruteforce` (ops/intersect.py), i.e.
 the reference's acceptance rules (geometry_queries.h:66-86 +
@@ -52,9 +60,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tinypathtracer_tpu.utils.math3d import DELTA, REAL_MAX, vcross, vdot
 
 # Tile sizes: rays on sublanes, triangles on lanes. TF is a multiple of
-# 128 (lane width); TN a multiple of 8 (f32 sublane tile).
+# 128 (lane width); TN a multiple of 8 (f32 sublane tile). CLUSTER is
+# the culling granularity: triangles are morton-sorted and grouped into
+# CLUSTER-wide runs, each with an AABB the kernel tests BEFORE running
+# the [rays x CLUSTER] hit test -- a flat, lockstep stand-in for BVH
+# traversal (spatial cull + running-best-t cull) with zero gathers.
 TILE_RAYS = 256
 TILE_TRIS = 512
+CLUSTER = 128
 
 _I32_MAX = 2**31 - 1  # plain int: jnp scalars would be captured consts in Pallas
 
@@ -64,15 +77,24 @@ _I32_MAX = 2**31 - 1  # plain int: jnp scalars would be captured consts in Palla
 class WoopTris:
     """Triangles as unit-triangle transforms, component-plane layout.
 
-    wx/wy/wz: [4, Fp] f32. Row k in {0,1,2} holds W[c,k] (the matrix
-    that maps world to unit-triangle space), row 3 holds the affine
-    offset c_c = -(W v0)_c. Padding columns are all-zero, which the hit
-    test rejects naturally (t evaluates to NaN).
+    Faces are stored in morton order of their centroids. wx/wy/wz:
+    [4, Fp] f32. Row k in {0,1,2} holds W[c,k] (the matrix that maps
+    world to unit-triangle space), row 3 holds the affine offset
+    c_c = -(W v0)_c. Padding columns are all-zero, which the hit test
+    rejects naturally (t evaluates to NaN).
+
+    perm: [Fp] i32, morton slot -> ORIGINAL face id (intersection
+    results must be mapped through this before touching face tables).
+    cl_boxes: [8, Fp/CLUSTER] f32 per-cluster AABBs; rows 0-2 = bmin
+    xyz, rows 3-5 = bmax xyz, rows 6-7 zero padding. Empty (all-padding)
+    clusters carry an inverted box that can never pass the slab test.
     """
 
     wx: jnp.ndarray
     wy: jnp.ndarray
     wz: jnp.ndarray
+    perm: jnp.ndarray
+    cl_boxes: jnp.ndarray
     n_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -85,12 +107,22 @@ def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
 
     Runs inside the jitted frame (tri_verts is per-frame world geometry,
     cf. the reference's per-frame `transform` kernel feeding the BVH
-    rebuild, path_tracer.cu:536-542); cost is O(F), negligible next to
-    tracing.
+    rebuild, path_tracer.cu:536-542); cost is O(F log F) for the morton
+    sort, negligible next to tracing.
     """
-    v0 = tri_verts[:, 0]
-    e1 = tri_verts[:, 1] - v0
-    e2 = tri_verts[:, 2] - v0
+    from tinypathtracer_tpu.ops.lbvh import morton30
+
+    f = tri_verts.shape[0]
+    fb_min = jnp.min(tri_verts, axis=1)            # [F, 3]
+    fb_max = jnp.max(tri_verts, axis=1)
+    cent = 0.5 * (fb_min + fb_max)
+    codes = morton30(cent, jnp.min(fb_min, axis=0), jnp.max(fb_max, axis=0))
+    order = jnp.argsort(codes).astype(jnp.int32)   # stable: ties keep file order
+    tv = tri_verts[order]
+
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - v0
+    e2 = tv[:, 2] - v0
     n = vcross(e1, e2)
     det = vdot(n, n)[:, None]                      # det([e1 e2 n]) = |n|^2
     ok = det > 0.0
@@ -102,11 +134,25 @@ def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
     w = jnp.stack([r0, r1, r2], axis=1)            # [F, 3(row), 3(col)]
     c = -jnp.einsum("frc,fc->fr", w, v0)           # [F, 3]
     planes = jnp.concatenate([w, c[:, :, None]], axis=2)  # [F, 3, 4]
-    f = tri_verts.shape[0]
     pad = (-f) % tile
     planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
     planes = planes.transpose(1, 2, 0)             # [3, 4, Fp]
-    return WoopTris(wx=planes[0], wy=planes[1], wz=planes[2], n_faces=f)
+
+    # Per-cluster AABBs in morton order; padding rows get an inverted
+    # (never-hit) box so empty clusters are culled for free.
+    bmin_s = jnp.pad(fb_min[order], ((0, pad), (0, 0)),
+                     constant_values=REAL_MAX)
+    bmax_s = jnp.pad(fb_max[order], ((0, pad), (0, 0)),
+                     constant_values=-REAL_MAX)
+    n_cl = planes.shape[2] // CLUSTER
+    cl_min = bmin_s.reshape(n_cl, CLUSTER, 3).min(axis=1)   # [C, 3]
+    cl_max = bmax_s.reshape(n_cl, CLUSTER, 3).max(axis=1)
+    cl_boxes = jnp.concatenate(
+        [cl_min.T, cl_max.T, jnp.zeros((2, n_cl), cl_min.dtype)], axis=0)
+
+    perm = jnp.pad(order, (0, pad))
+    return WoopTris(wx=planes[0], wy=planes[1], wz=planes[2],
+                    perm=perm, cl_boxes=cl_boxes, n_faces=f)
 
 
 def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
@@ -128,8 +174,11 @@ def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
     return jnp.where(ok, t, REAL_MAX)
 
 
-def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, t_ref, fid_ref):
+def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, cl_ref,
+                  t_ref, fid_ref):
     j = pl.program_id(1)
+    tf = wx_ref.shape[1]
+    n_sub = tf // CLUSTER
 
     @pl.when(j == 0)
     def _():
@@ -145,21 +194,60 @@ def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, t_ref, fid_ref):
     @pl.when(jnp.any(mask_ref[:] != 0))
     def _():
         r = rays_ref[:]
-        tc = _hit_planes(r[:, 0:1], r[:, 1:2], r[:, 2:3],
-                         r[:, 3:4], r[:, 4:5], r[:, 5:6],
-                         wx_ref[:], wy_ref[:], wz_ref[:], t_ref[:])
-        row_t = jnp.min(tc, axis=1, keepdims=True)                # [TN, 1]
-        lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
-        row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
-                        axis=1, keepdims=True)
-        better = row_t < t_ref[:]
-        fid_ref[:] = jnp.where(better, j * tc.shape[1] + row_i, fid_ref[:])
-        t_ref[:] = jnp.where(better, row_t, t_ref[:])
+        ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+        # Safe reciprocals for the slab test (traverse.py convention:
+        # huge-but-finite so 0 * inv stays 0, keeping the test
+        # conservative for rays parallel to a slab).
+        ivx = jnp.where(dx == 0.0, REAL_MAX, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+        ivy = jnp.where(dy == 0.0, REAL_MAX, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+        ivz = jnp.where(dz == 0.0, REAL_MAX, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+        live = mask_ref[:] != 0
+
+        # Hierarchical cull: per morton cluster of CLUSTER triangles,
+        # slab-test the whole ray tile against the cluster AABB clipped
+        # by each ray's RUNNING best t; only clusters some live ray
+        # still needs pay for the [TN x CLUSTER] hit test. Flat-array
+        # BVH-style pruning with no per-ray gathers or stacks.
+        for sc in range(n_sub):
+            lo = sc * CLUSTER
+            ci = j * n_sub + sc          # absolute cluster index
+            tx0 = (cl_ref[0, ci] - ox) * ivx
+            ty0 = (cl_ref[1, ci] - oy) * ivy
+            tz0 = (cl_ref[2, ci] - oz) * ivz
+            tx1 = (cl_ref[3, ci] - ox) * ivx
+            ty1 = (cl_ref[4, ci] - oy) * ivy
+            tz1 = (cl_ref[5, ci] - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            need = live & (far >= jnp.maximum(near, DELTA)) \
+                & (near <= t_ref[:])
+
+            @pl.when(jnp.any(need))
+            def _(lo=lo):
+                tc = _hit_planes(ox, oy, oz, dx, dy, dz,
+                                 wx_ref[:, lo:lo + CLUSTER],
+                                 wy_ref[:, lo:lo + CLUSTER],
+                                 wz_ref[:, lo:lo + CLUSTER], t_ref[:])
+                row_t = jnp.min(tc, axis=1, keepdims=True)        # [TN, 1]
+                lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
+                row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
+                                axis=1, keepdims=True)
+                better = row_t < t_ref[:]
+                fid_ref[:] = jnp.where(better, j * tf + lo + row_i,
+                                       fid_ref[:])
+                t_ref[:] = jnp.where(better, row_t, t_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
-def _dense_pallas(rays, mask, wx, wy, wz, tile_rays: int = TILE_RAYS,
-                  interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rays", "tile_tris", "interpret"))
+def _dense_pallas(rays, mask, wx, wy, wz, cl_boxes,
+                  tile_rays: int = TILE_RAYS,
+                  tile_tris: int = TILE_TRIS, interpret: bool = False):
     n = rays.shape[0]
     fp = wx.shape[1]
     tn = min(tile_rays, max(8, n))
@@ -167,8 +255,9 @@ def _dense_pallas(rays, mask, wx, wy, wz, tile_rays: int = TILE_RAYS,
     rays_p = jnp.pad(rays, ((0, pad), (0, 0))) if pad else rays
     mask_p = jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask
     np_ = rays_p.shape[0]
-    tf = min(TILE_TRIS, fp)
+    tf = min(tile_tris, fp)
     grid = (np_ // tn, fp // tf)
+    n_sub = tf // CLUSTER
 
     t, fid = pl.pallas_call(
         _dense_kernel,
@@ -184,6 +273,10 @@ def _dense_pallas(rays, mask, wx, wy, wz, tile_rays: int = TILE_RAYS,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
+            # ALL cluster AABBs ride in SMEM (tiny: 8 x Fp/CLUSTER);
+            # the kernel reads them as scalars for the per-cluster cull
+            pl.BlockSpec(cl_boxes.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
@@ -198,7 +291,7 @@ def _dense_pallas(rays, mask, wx, wy, wz, tile_rays: int = TILE_RAYS,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(rays_p, mask_p, wx, wy, wz)
+    )(rays_p, mask_p, wx, wy, wz, cl_boxes)
     return t[:n, 0], fid[:n, 0]
 
 
@@ -288,13 +381,13 @@ def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
             pos, perm = _partition_live(mask)
             t, fid = _dense_pallas(rays[perm],
                                    mask[perm].astype(jnp.int32)[:, None],
-                                   woop.wx, woop.wy, woop.wz,
+                                   woop.wx, woop.wy, woop.wz, woop.cl_boxes,
                                    tile_rays=tile_rays,
                                    interpret=impl == "interpret")
             t, fid = t[pos], fid[pos]
         else:
             t, fid = _dense_pallas(rays, jnp.ones((n, 1), jnp.int32),
-                                   woop.wx, woop.wy, woop.wz,
+                                   woop.wx, woop.wy, woop.wz, woop.cl_boxes,
                                    tile_rays=tile_rays,
                                    interpret=impl == "interpret")
     else:
@@ -304,8 +397,16 @@ def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
         fid = jnp.where(mask, fid, -1)
     t = jnp.where(fid < 0, REAL_MAX, t)
     if with_uv:
-        return fid, t, _winner_uv(origins, dirs, woop, fid)
-    return fid, t, jnp.zeros((n, 2), jnp.float32)
+        # uv needs the morton-space fid (woop planes are morton-ordered)
+        uv = _winner_uv(origins, dirs, woop, fid)
+        return _to_original_fid(woop, fid), t, uv
+    return (_to_original_fid(woop, fid), t,
+            jnp.zeros((n, 2), jnp.float32))
+
+
+def _to_original_fid(woop: WoopTris, fid):
+    """Map morton-slot hit ids back to original face ids (miss stays -1)."""
+    return jnp.where(fid >= 0, woop.perm[jnp.maximum(fid, 0)], fid)
 
 
 def _winner_uv(origins, dirs, woop: WoopTris, fid):
