@@ -36,9 +36,14 @@ class RenderConfig:
     # the plain Moller-Trumbore oracle; "bvh" the binary LBVH +
     # lockstep traversal; "wbvh" the host-collapsed 8-ary wide BVH.
     intersector: str = "dense"
-    # Rays are processed in tiles of this many pixels to bound memory
-    # (the analogue of the reference's 16x16 CUDA blocks, but sized for
-    # VPU lanes / VMEM instead of warps).
+    # (pixel, sample) lanes are flattened and processed in dispatch
+    # chunks of up to this many rays: large chunks amortize per-bounce
+    # glue and give the intersection kernel its biggest batch; the cap
+    # bounds live ray-state memory (~100 B/ray). The analogue of the
+    # reference's 16x16 CUDA blocks, sized for HBM instead of warps.
+    rays_per_dispatch: int = 1 << 20
+    # Deprecated (round-1 pixel tiling); kept so existing callers don't
+    # break. Chunking is controlled by rays_per_dispatch now.
     tile_pixels: int = 16384
     # Fixed traversal stack depth per ray (reference uses 64,
     # path_tracer.cu:64); LBVH depth for sorted morton codes is ~2*log2(n).

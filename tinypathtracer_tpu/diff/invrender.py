@@ -142,11 +142,9 @@ def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh,
     def per_device(params, opt_state, scene, target_flat, pix_shard, key):
         def local_loss(p):
             state = rend.prepare_state(apply_params(scene, p), cfg)
-            k = key
-            if n_sample > 1:
-                k = jax.random.fold_in(k, lax.axis_index(SAMPLE_AXIS))
+            off = lax.axis_index(SAMPLE_AXIS) * spp_local
             rad = rend.render_pixel_ids(state, cfg, jnp.maximum(pix_shard, 0),
-                                        k, spp=spp_local)
+                                        key, spp=spp_local, sample_offset=off)
             rad = lax.psum(rad, SAMPLE_AXIS) / cfg.spp
             tgt = target_flat                      # [P/n_data, 3] shard
             valid = (pix_shard[:, None] >= 0).astype(jnp.float32)

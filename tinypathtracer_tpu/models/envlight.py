@@ -116,8 +116,8 @@ def build_env_tables(env_radiance) -> EnvSamplingTables:
                              conditional_cdf=conditional_cdf, pdf=pdf)
 
 
-def sample_env(key, tables: EnvSamplingTables, n: int):
-    """Draw n directions ~ luminance of the dome.
+def sample_env_u(u, tables: EnvSamplingTables):
+    """Draw directions ~ luminance of the dome from raw uniforms u [n, 2].
 
     Returns (dirs [n, 3], pdf [n]) with pdf in solid-angle measure.
     Inverse-CDF via searchsorted (the TPU replacement of the reference's
@@ -125,7 +125,6 @@ def sample_env(key, tables: EnvSamplingTables, n: int):
     """
     h = tables.marginal_cdf.shape[0]
     w = tables.conditional_cdf.shape[1]
-    u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
     total = tables.marginal_cdf[-1]
     row = jnp.searchsorted(tables.marginal_cdf, u[:, 0] * total)
     row = jnp.clip(row, 0, h - 1)
@@ -140,3 +139,9 @@ def sample_env(key, tables: EnvSamplingTables, n: int):
                      axis=-1)
     pdf = tables.pdf[row, col]
     return dirs, pdf
+
+
+def sample_env(key, tables: EnvSamplingTables, n: int):
+    """Key-based wrapper over sample_env_u (tests / standalone use)."""
+    u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+    return sample_env_u(u, tables)

@@ -65,13 +65,14 @@ def schlick_fresnel(cos_i, eta):
     return f0 + (1.0 - f0) * m2 * m2 * m
 
 
-def sample_bsdf(key, d, n, eta, metallic, base_color):
-    """Sample the next direction for a batch of surface interactions.
+def sample_bsdf_u(u_hemi1, u_hemi2, u_coin, d, n, eta, metallic, base_color):
+    """Sample the next direction for a batch of surface interactions
+    from raw per-lane uniforms.
 
-    key: PRNG key (one per call site; lanes draw from array streams).
-    d: incoming ray direction [N, 3] (unit). n: interpolated shading
-    normal [N, 3] (unit). eta/metallic: per-lane material params [N].
-    base_color: [N, 3].
+    u_hemi1/u_hemi2/u_coin: [N] U[0,1) columns (diffuse hemisphere +
+    Fresnel coin flip). d: incoming ray direction [N, 3] (unit). n:
+    interpolated shading normal [N, 3] (unit). eta/metallic: per-lane
+    material params [N]. base_color: [N, 3].
 
     Returns (next_dir [N, 3], weight [N, 3], is_specular [N]) where
     `weight` is baseColor * attenFactor / pdf -- the full throughput
@@ -79,19 +80,17 @@ def sample_bsdf(key, d, n, eta, metallic, base_color):
     delta lobe (eta > 0 or metallic > 0), used by the estimator to gate
     the extra direct-emitter sample (path_tracer.cu:387).
     """
-    k_diff, k_flip = jax.random.split(key)
-
     # --- dielectric lobe ---
     refr, cos_i, eta_ratio, tir = refract_reference(d, n, eta)
     refl = reflect(d, n)
     fr = jnp.where(tir, 1.0, schlick_fresnel(cos_i, eta_ratio))
-    take_refl = sampling.coin_flip(k_flip, fr)
+    take_refl = sampling.coin_flip_u(u_coin, fr)
     d_dielec = jnp.where(take_refl[..., None], refl, refr)
 
     # --- diffuse lobe (side-corrected normal, path_tracer.cu:218-222) ---
     sign = jnp.where(vdot(d, n) > 0.0, -1.0, 1.0)
     n_d = n * sign[..., None]
-    d_diff, pdf = sampling.hemisphere_cosine(k_diff, n_d)
+    d_diff, pdf = sampling.hemisphere_cosine_u(u_hemi1, u_hemi2, n_d)
     cos_o = vdot(d_diff, n_d)
     atten = jnp.abs(cos_o) / sampling.PI
     # pdf == cos/pi > 0 by construction of the cosine sample
@@ -107,3 +106,11 @@ def sample_bsdf(key, d, n, eta, metallic, base_color):
     ratio = jnp.where(is_specular, 1.0, diff_ratio)
     weight = base_color * ratio[..., None]
     return next_dir, weight, is_specular
+
+
+def sample_bsdf(key, d, n, eta, metallic, base_color):
+    """Key-based wrapper over sample_bsdf_u (tests / standalone use)."""
+    k_diff, k_flip = jax.random.split(key)
+    u1, u2 = sampling.uniform2(k_diff, d.shape[:-1])
+    u_coin = jax.random.uniform(k_flip, d.shape[:-1], dtype=jnp.float32)
+    return sample_bsdf_u(u1, u2, u_coin, d, n, eta, metallic, base_color)

@@ -86,8 +86,10 @@ class WoopTris:
     perm: [Fp] i32, morton slot -> ORIGINAL face id (intersection
     results must be mapped through this before touching face tables).
     cl_boxes: [8, Fp/CLUSTER] f32 per-cluster AABBs; rows 0-2 = bmin
-    xyz, rows 3-5 = bmax xyz, rows 6-7 zero padding. Empty (all-padding)
-    clusters carry an inverted box that can never pass the slab test.
+    xyz, rows 3-5 = bmax xyz, row 6 = validity (1.0 if the cluster
+    holds at least one real face, 0.0 for all-padding clusters -- the
+    kernel ANDs this into its cull so empty tails cost nothing), row 7
+    zero padding.
     """
 
     wx: jnp.ndarray
@@ -139,7 +141,9 @@ def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
     planes = planes.transpose(1, 2, 0)             # [3, 4, Fp]
 
     # Per-cluster AABBs in morton order; padding rows get an inverted
-    # (never-hit) box so empty clusters are culled for free.
+    # box AND clusters with no real face get validity 0 in row 6 (the
+    # inverted box alone does not fail the kernel's normalized slab
+    # test -- min/max of (t0, t1) turns it all-encompassing).
     bmin_s = jnp.pad(fb_min[order], ((0, pad), (0, 0)),
                      constant_values=REAL_MAX)
     bmax_s = jnp.pad(fb_max[order], ((0, pad), (0, 0)),
@@ -147,8 +151,10 @@ def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
     n_cl = planes.shape[2] // CLUSTER
     cl_min = bmin_s.reshape(n_cl, CLUSTER, 3).min(axis=1)   # [C, 3]
     cl_max = bmax_s.reshape(n_cl, CLUSTER, 3).max(axis=1)
+    cl_valid = (jnp.arange(n_cl, dtype=jnp.int32) * CLUSTER < f)
     cl_boxes = jnp.concatenate(
-        [cl_min.T, cl_max.T, jnp.zeros((2, n_cl), cl_min.dtype)], axis=0)
+        [cl_min.T, cl_max.T, cl_valid[None].astype(cl_min.dtype),
+         jnp.zeros((1, n_cl), cl_min.dtype)], axis=0)
 
     perm = jnp.pad(order, (0, pad))
     return WoopTris(wx=planes[0], wy=planes[1], wz=planes[2],
@@ -175,22 +181,39 @@ def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
 
 
 def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, cl_ref,
-                  t_ref, fid_ref):
+                  t_ref, fid_ref, lane_t, lane_c, hint):
+    """One ray tile vs one tri tile.
+
+    The running best is kept LANE-LOCAL: lane_t/lane_c [TN, CLUSTER]
+    scratch hold, per (ray, lane) pair, the best t over all clusters
+    visited so far and which cluster produced it. The inner loop is
+    therefore pure elementwise VPU work -- no cross-lane min/argmin per
+    cluster (v1 paid two 128-lane reductions plus an iota/select per
+    cluster, ~30% of its runtime). One cross-lane argmin runs once per
+    ray tile at the last grid step. Tie semantics are unchanged
+    (lowest morton slot wins): strict '<' updates keep the earliest
+    cluster per lane, and the final reduce takes the lowest fid among
+    equal-t lanes.
+
+    hint [TN, 1] is a per-ray upper bound on best t (refreshed once per
+    tri tile) used to cull cluster AABBs behind the current best hit.
+    """
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
     tf = wx_ref.shape[1]
     n_sub = tf // CLUSTER
 
     @pl.when(j == 0)
     def _():
-        t_ref[:] = jnp.full_like(t_ref, REAL_MAX)
-        fid_ref[:] = jnp.full_like(fid_ref, -1)
+        lane_t[:] = jnp.full_like(lane_t, REAL_MAX)
+        lane_c[:] = jnp.zeros_like(lane_c)
+        hint[:] = jnp.full_like(hint, REAL_MAX)
 
     # Dead-lane compaction: the caller stable-partitions rays so inactive
     # lanes cluster into whole ray tiles; a tile with no active lane
-    # skips the test entirely (its outputs stay at the j==0 miss values).
-    # This is the TPU form of wavefront stream compaction (SURVEY.md
-    # par. 7 phase 3) -- shapes stay static, work becomes proportional
-    # to ceil(live/TN) instead of N.
+    # skips the test entirely. This is the TPU form of wavefront stream
+    # compaction (SURVEY.md par. 7 phase 3) -- shapes stay static, work
+    # becomes proportional to ceil(live/TN) instead of N.
     @pl.when(jnp.any(mask_ref[:] != 0))
     def _():
         r = rays_ref[:]
@@ -206,8 +229,8 @@ def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, cl_ref,
 
         # Hierarchical cull: per morton cluster of CLUSTER triangles,
         # slab-test the whole ray tile against the cluster AABB clipped
-        # by each ray's RUNNING best t; only clusters some live ray
-        # still needs pay for the [TN x CLUSTER] hit test. Flat-array
+        # by each ray's best-t hint; only clusters some live ray still
+        # needs pay for the [TN x CLUSTER] hit test. Flat-array
         # BVH-style pruning with no per-ray gathers or stacks.
         for sc in range(n_sub):
             lo = sc * CLUSTER
@@ -225,22 +248,43 @@ def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, cl_ref,
                                           jnp.maximum(ty0, ty1)),
                               jnp.maximum(tz0, tz1))
             need = live & (far >= jnp.maximum(near, DELTA)) \
-                & (near <= t_ref[:])
+                & (near <= hint[:]) & (cl_ref[6, ci] != 0.0)
 
             @pl.when(jnp.any(need))
-            def _(lo=lo):
-                tc = _hit_planes(ox, oy, oz, dx, dy, dz,
-                                 wx_ref[:, lo:lo + CLUSTER],
-                                 wy_ref[:, lo:lo + CLUSTER],
-                                 wz_ref[:, lo:lo + CLUSTER], t_ref[:])
-                row_t = jnp.min(tc, axis=1, keepdims=True)        # [TN, 1]
-                lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
-                row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
-                                axis=1, keepdims=True)
-                better = row_t < t_ref[:]
-                fid_ref[:] = jnp.where(better, j * tf + lo + row_i,
-                                       fid_ref[:])
-                t_ref[:] = jnp.where(better, row_t, t_ref[:])
+            def _(lo=lo, ci=ci):
+                wx = wx_ref[:, lo:lo + CLUSTER]
+                wy = wy_ref[:, lo:lo + CLUSTER]
+                wz = wz_ref[:, lo:lo + CLUSTER]
+                opx = ox * wx[0:1] + oy * wx[1:2] + oz * wx[2:3] + wx[3:4]
+                opy = ox * wy[0:1] + oy * wy[1:2] + oz * wy[2:3] + wy[3:4]
+                opz = ox * wz[0:1] + oy * wz[1:2] + oz * wz[2:3] + wz[3:4]
+                dpx = dx * wx[0:1] + dy * wx[1:2] + dz * wx[2:3]
+                dpy = dx * wy[0:1] + dy * wy[1:2] + dz * wy[2:3]
+                dpz = dx * wz[0:1] + dy * wz[1:2] + dz * wz[2:3]
+                t = -opz / dpz   # inf/NaN on parallel/degenerate: rejected
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0) \
+                    & (t > DELTA) & (t < lane_t[:])
+                lane_t[:] = jnp.where(ok, t, lane_t[:])
+                lane_c[:] = jnp.where(ok, ci, lane_c[:])
+
+        # refresh the per-ray best-t bound once per tri tile (one lane
+        # reduction amortized over n_sub clusters)
+        hint[:] = jnp.min(lane_t[:], axis=1, keepdims=True)
+
+    # Final cross-lane argmin, once per ray tile (runs for dead tiles
+    # too, so their outputs are well-defined misses).
+    @pl.when(j == nj - 1)
+    def _():
+        lt = lane_t[:]
+        m = jnp.min(lt, axis=1, keepdims=True)                 # [TN, 1]
+        lane = lax.broadcasted_iota(jnp.int32, lt.shape, 1)
+        fid_all = lane_c[:] * CLUSTER + lane
+        cand = jnp.min(jnp.where(lt == m, fid_all, _I32_MAX),
+                       axis=1, keepdims=True)
+        t_ref[:] = m
+        fid_ref[:] = jnp.where(m >= REAL_MAX, -1, cand)
 
 
 @functools.partial(jax.jit,
@@ -250,14 +294,19 @@ def _dense_pallas(rays, mask, wx, wy, wz, cl_boxes,
                   tile_tris: int = TILE_TRIS, interpret: bool = False):
     n = rays.shape[0]
     fp = wx.shape[1]
-    tn = min(tile_rays, max(8, n))
+    tn = min(tile_rays, max(8, -(-n // 8) * 8))   # multiple of 8 (f32 sublane)
     pad = (-n) % tn
     rays_p = jnp.pad(rays, ((0, pad), (0, 0))) if pad else rays
     mask_p = jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask
     np_ = rays_p.shape[0]
     tf = min(tile_tris, fp)
+    if fp % tf or tf % CLUSTER or tn % 8:
+        raise ValueError(
+            f"dense tiling mismatch: padded faces {fp} must divide into "
+            f"tri tiles of {tf} (multiple of CLUSTER={CLUSTER}); ray tile "
+            f"{tn} must be a multiple of 8. Pass precompute_woop(tile=...) "
+            f"matching tile_tris.")
     grid = (np_ // tn, fp // tf)
-    n_sub = tf // CLUSTER
 
     t, fid = pl.pallas_call(
         _dense_kernel,
@@ -288,6 +337,11 @@ def _dense_pallas(rays, mask, wx, wy, wz, cl_boxes,
             jax.ShapeDtypeStruct((np_, 1), jnp.float32),
             jax.ShapeDtypeStruct((np_, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((tn, CLUSTER), jnp.float32),   # lane_t
+            pltpu.VMEM((tn, CLUSTER), jnp.int32),     # lane_c
+            pltpu.VMEM((tn, 1), jnp.float32),         # hint
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,

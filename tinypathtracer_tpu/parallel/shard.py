@@ -55,13 +55,15 @@ def render_frame_sharded(scene: FlatScene, cfg: RenderConfig, key, mesh: Mesh):
     pix, total = _padded_pixels(cfg, n_data, tile)
 
     def per_device(state, pix_shard, key):
-        # Decorrelate the sample axis: each sample shard folds its index
-        # into the key and renders spp_local samples. With n_sample == 1
-        # the key is untouched so pure pixel-DP is bit-identical to the
-        # single-device renderer.
-        if n_sample > 1:
-            key = jax.random.fold_in(key, lax.axis_index(SAMPLE_AXIS))
-        rad = rend.render_pixel_ids(state, cfg, pix_shard, key, spp=spp_local)
+        # Each sample shard renders the ABSOLUTE sample range
+        # [idx*spp_local, (idx+1)*spp_local): per-lane keys depend only
+        # on (pixel, sample) ids, so the psum over shards reproduces the
+        # single-device spp sum sample-for-sample (DP sharding stays
+        # bit-identical; sample sharding differs only in summation
+        # order).
+        off = lax.axis_index(SAMPLE_AXIS) * spp_local
+        rad = rend.render_pixel_ids(state, cfg, pix_shard, key,
+                                    spp=spp_local, sample_offset=off)
         # radiance accumulator all-reduce over ICI (the gradient/radiance
         # psum row of SURVEY.md par. 2's parallelism table)
         return lax.psum(rad, SAMPLE_AXIS)

@@ -45,10 +45,10 @@ from jax import lax
 
 from tinypathtracer_tpu.config import RenderConfig
 from tinypathtracer_tpu.models.envlight import (
-    EnvSamplingTables, build_env_tables, env_lookup, sample_env)
+    EnvSamplingTables, build_env_tables, env_lookup, sample_env_u)
 from tinypathtracer_tpu.models.scene import FlatScene
 from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
-from tinypathtracer_tpu.ops.sampling import PI
+from tinypathtracer_tpu.ops.sampling import PI, fold_all, lane_uniform
 from tinypathtracer_tpu.ops.traverse import _ray_tri_single
 from tinypathtracer_tpu.utils.math3d import vdot, vnormalize
 
@@ -165,8 +165,13 @@ def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
 
 
 def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
-                origins, dirs, key):
+                origins, dirs, lane_keys):
     """Trace a batch of rays to completion; returns radiance [N, 3].
+
+    lane_keys: [N] PRNG key array, one per ray lane (the renderer folds
+    (pixel, sample) ids into the frame key). All randomness inside a
+    bounce is drawn from per-lane keys, so results are independent of
+    how lanes are batched/tiled/sharded.
 
     One scan step == one bounce for ALL rays (dead lanes are masked,
     wavefront compaction comes in at the traversal layer where it pays).
@@ -194,8 +199,11 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
 
     def bounce(state, depth):
         o, d, thr, rad, alive, prev_spec = state
-        k = jax.random.fold_in(key, depth)
-        k_bsdf, k_direct, k_env, k_rr = jax.random.split(k, 4)
+        # One [N, 6] uniform block per bounce from per-lane keys:
+        # cols 0-1 BSDF hemisphere, 2 BSDF Fresnel coin; in reference
+        # mode cols 3-4 are the extra direct-sample hemisphere and 5 its
+        # coin; in physical mode cols 3-4 drive env NEE and 5 RR.
+        u = lane_uniform(fold_all(lane_keys, depth), 6)
 
         fid = hit_query(o, d, alive)
         miss = fid < 0
@@ -235,8 +243,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         live = alive & ~miss & ~emissive
 
         # BSDF bounce: weight = baseColor * atten/p (path_tracer.cu:379-380)
-        next_dir, weight, is_spec = bsdf.sample_bsdf(
-            k_bsdf, d, nrm, eta, metallic, base_color)
+        next_dir, weight, is_spec = bsdf.sample_bsdf_u(
+            u[:, 0], u[:, 1], u[:, 2], d, nrm, eta, metallic, base_color)
 
         if cfg.mode == "reference":
             # Delta-light NEE (quirk: no cos / BRDF weighting)
@@ -246,8 +254,8 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             # (path_tracer.cu:387-401): a second BSDF draw; if it hits
             # anything, add that material's scalar emissionFactor.
             do_extra = ~((eta >= 1.0) | (metallic > 0.0))
-            dir2, _w2, _s2 = bsdf.sample_bsdf(
-                k_direct, d, nrm, eta, metallic, base_color)
+            dir2, _w2, _s2 = bsdf.sample_bsdf_u(
+                u[:, 3], u[:, 4], u[:, 5], d, nrm, eta, metallic, base_color)
             fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(hit_pos),
                                           lax.stop_gradient(dir2),
                                           mask=live & do_extra)
@@ -281,12 +289,11 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             # Env-light importance sampling wired into NEE (the
             # reference built these tables but never called them,
             # env_light.cuh:58-70 / SURVEY.md par. 2)
-            wi_e, pdf_e = sample_env(
-                k_env,
+            wi_e, pdf_e = sample_env_u(
+                u[:, 3:5],
                 EnvSamplingTables(marginal_cdf=data.env_marginal_cdf,
                                   conditional_cdf=data.env_conditional_cdf,
-                                  pdf=data.env_pdf),
-                n)
+                                  pdf=data.env_pdf))
             cos_e = jnp.maximum(vdot(wi_e, n_side), 0.0)
             efid, _t2_, _u2_ = closest_hit(lax.stop_gradient(hit_pos),
                                            lax.stop_gradient(wi_e),
@@ -307,7 +314,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         if cfg.mode == "physical" and cfg.russian_roulette:
             p_sur = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
             late = depth >= 3
-            u_rr = jax.random.uniform(k_rr, (n,), dtype=jnp.float32)
+            u_rr = u[:, 5]
             kill = live & late & (u_rr >= p_sur)
             thr = jnp.where((live & late)[:, None], thr / p_sur[:, None], thr)
             live = live & ~kill

@@ -15,14 +15,14 @@ import jax.numpy as jnp
 from tinypathtracer_tpu.utils.math3d import vnormalize
 
 
-def camera_rays(key, cam_to_world, yfov, aspect, px, py, width, height):
-    """Generate jittered primary rays for pixel index arrays.
+def camera_rays_u(u, cam_to_world, yfov, aspect, px, py, width, height):
+    """Generate jittered primary rays for pixel index arrays from raw
+    per-lane uniforms u [N, 2].
 
     px, py: [N] int32 pixel coordinates. Returns (origins [N, 3],
     dirs [N, 3]); all rays share the camera origin but it is broadcast
     per lane for a uniform ray-batch interface.
     """
-    u = jax.random.uniform(key, px.shape + (2,), dtype=jnp.float32)
     tan_half = jnp.tan(0.5 * yfov)
     sensor_h = 2.0 * tan_half
     sensor_w = aspect * sensor_h
@@ -34,3 +34,9 @@ def camera_rays(key, cam_to_world, yfov, aspect, px, py, width, height):
     d = vnormalize(d_cam @ rot.T)
     o = jnp.broadcast_to(cam_to_world[:3, 3], d.shape)
     return o, d
+
+
+def camera_rays(key, cam_to_world, yfov, aspect, px, py, width, height):
+    """Key-based wrapper over camera_rays_u (tests / standalone use)."""
+    u = jax.random.uniform(key, px.shape + (2,), dtype=jnp.float32)
+    return camera_rays_u(u, cam_to_world, yfov, aspect, px, py, width, height)

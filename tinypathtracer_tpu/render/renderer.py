@@ -8,11 +8,16 @@ and packs the framebuffer -- each stage a separate kernel launch with
 program: geometry transform, BVH build, and the bounce loop fuse into a
 single dispatch with no host sync until the image is fetched.
 
-Pixel work is processed in tiles (lax.map over pixel tiles, scan over
-spp inside) to bound the live [rays x triangles] working set -- the
-role the 16x16 CUDA blocks play in the reference, but sized for
-VMEM/HBM instead of SM occupancy. Rendering is addressed by pixel-id
-arrays so the same code path serves the single-chip renderer and the
+The (pixel, sample) axes are FLATTENED into one ray axis processed in
+large chunks (cfg.rays_per_dispatch, default 1M rays): on TPU the
+per-dispatch overhead and the per-bounce glue amortize over the whole
+chunk, and the intersection kernel sees the biggest possible batch --
+the round-2 profiling showed small spp-at-a-time dispatches were the
+dominant frame cost. Each lane derives its own PRNG key from
+(pixel id, absolute sample id), so images are bit-identical across any
+chunking/tiling/sharding layout and progressive resume is exact for
+any chunk schedule. Rendering is addressed by pixel-id arrays so the
+same code path serves the single-chip renderer and the
 shard_map-distributed one (parallel/shard.py).
 """
 
@@ -32,8 +37,13 @@ from tinypathtracer_tpu.models.scene import FlatScene, Scene
 from tinypathtracer_tpu.ops import intersect
 from tinypathtracer_tpu.ops.lbvh import BVH, build_lbvh
 from tinypathtracer_tpu.ops.traverse import closest_hit_bvh
+from tinypathtracer_tpu.ops.sampling import fold_all, fold_lanes, lane_uniform
 from tinypathtracer_tpu.render import film, raygen
 from tinypathtracer_tpu.render.integrator import TraceData, trace_paths
+
+# Key-derivation tag for the camera-jitter draw; bounces use their depth
+# (0..max_depth-1) as the tag, so any large constant is collision-free.
+_CAM_TAG = 0x00CA_0CA1
 
 
 @jax.tree_util.register_dataclass
@@ -152,32 +162,32 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
     w, h = cfg.width, cfg.height
 
     n = pix.shape[0]
-    tile = min(cfg.tile_pixels, n)
-    pad = (-n) % tile
+    # pixels per dispatch chunk, from the ray budget (all spp of a pixel
+    # stay in one chunk so the sample reduction happens in-chunk)
+    px_chunk = max(1, min(n, cfg.rays_per_dispatch // spp))
+    pad = (-n) % px_chunk
     pix_p = jnp.concatenate([pix, jnp.zeros((pad,), jnp.int32)]) if pad else pix
-    tiles = pix_p.reshape(-1, tile)
+    chunks = pix_p.reshape(-1, px_chunk)
 
-    def render_tile(tile_pix):
-        px = tile_pix % w
-        py = tile_pix // w
+    def render_chunk(chunk_pix):
+        # one ray lane per (pixel, absolute sample); lane key = frame
+        # key + pixel id + sample id, making every draw independent of
+        # batch layout (exact progressive resume, exact sharding)
+        lane_pix = jnp.repeat(chunk_pix, spp)               # [px_chunk*spp]
+        lane_s = sample_offset + jnp.tile(
+            jnp.arange(spp, dtype=jnp.int32), px_chunk)
+        keys = fold_lanes(key, lane_pix)
+        keys = jax.vmap(jax.random.fold_in)(keys, lane_s)
+        px = lane_pix % w
+        py = lane_pix // w
+        u_cam = lane_uniform(fold_all(keys, _CAM_TAG), 2)
+        o, d = raygen.camera_rays_u(
+            u_cam, scene.cam_to_world, scene.cam_yfov, scene.cam_aspect,
+            px, py, w, h)
+        rad = trace_paths(data, cfg, closest_hit, o, d, keys)
+        return rad.reshape(px_chunk, spp, 3).sum(axis=1)
 
-        def sample(carry, s):
-            k = jax.random.fold_in(jax.random.fold_in(key, tile_pix[0]), s)
-            k_cam, k_path = jax.random.split(k)
-            o, d = raygen.camera_rays(
-                k_cam, scene.cam_to_world, scene.cam_yfov, scene.cam_aspect,
-                px, py, w, h)
-            rad = trace_paths(data, cfg, closest_hit, o, d, k_path)
-            return carry + rad, None
-
-        acc0 = jnp.zeros((tile, 3), dtype=jnp.float32)
-        # absolute sample indices: progressive chunks resume the exact
-        # deterministic sequence (utils/checkpoint.ProgressiveRender)
-        acc, _ = lax.scan(sample, acc0,
-                          sample_offset + jnp.arange(spp, dtype=jnp.int32))
-        return acc
-
-    out = lax.map(render_tile, tiles)
+    out = lax.map(render_chunk, chunks)
     return out.reshape(-1, 3)[:n]
 
 
