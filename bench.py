@@ -51,7 +51,9 @@ def main():
     for i in range(repeats):
         t0 = time.perf_counter()
         out = r.render(flat, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        # fetch a scalar: on remote backends block_until_ready can
+        # return before execution finishes; a host readback cannot
+        float(out.sum())
         best = min(best, time.perf_counter() - t0)
 
     primary_rays = width * height * spp

@@ -44,17 +44,32 @@ def test_pallas_interpret_matches_xla_twin():
     woop = precompute_woop(tris)
     rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2), jnp.float32)], 1)
     t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
-    ones = jnp.ones((rays.shape[0], 1), jnp.int32)
-    t_p, f_p = _dense_pallas(rays, ones, woop.wx, woop.wy, woop.wz,
-                             woop.cl_boxes, interpret=True)
+    t_p, f_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                             woop.sp_boxes, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+
+
+def test_gated_kernel_matches_xla_twin():
+    """Scenes past _GATE_MIN_FACES take the SUPER-gated kernel path;
+    gating must be invisible in the results (pure work-skipping)."""
+    from tinypathtracer_tpu.ops.dense import _GATE_MIN_FACES
+
+    tris, o, d = _random_scene(f=_GATE_MIN_FACES + 123, n=96, seed=11)
+    woop = precompute_woop(tris)
+    assert woop.n_padded >= _GATE_MIN_FACES
+    rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2), jnp.float32)], 1)
+    t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
+    t_p, f_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                             woop.sp_boxes, gated=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
 
 
 @pytest.mark.parametrize("impl", ["xla", "interpret"])
-def test_mask_compaction_semantics(impl, monkeypatch):
+def test_mask_semantics(impl, monkeypatch):
     """Masked lanes report miss; live lanes match the unmasked call
-    bit-for-bit (the stable partition must not change any result)."""
+    bit-for-bit (the mask is a post-filter, never a result change)."""
     monkeypatch.setenv("TPT_DENSE_IMPL", impl)
     tris, o, d = _random_scene(f=300, n=777, seed=5)
     woop = precompute_woop(tris)

@@ -17,27 +17,34 @@ Two layers:
         o' = W o + c,  d' = W d,
         t = -o'_z / d'_z,  u = o'_x + t d'_x,  v = o'_y + t d'_y,
         hit iff u >= 0, v >= 0, u + v <= 1, DELTA < t < best.
-    That is 21 fused multiply-adds + ~16 cheap VPU ops per (ray, tri)
+    That is ~21 fused multiply-adds + ~14 cheap VPU ops per (ray, tri)
     pair -- vs ~60 for inline Moller-Trumbore -- and all per-triangle
     work is hoisted out of the hot loop. Triangle data is stored as
     component planes wx/wy/wz [4, F] so every hot-loop operand is a
     natural [sublane x lane] 2D tile (rays on sublanes, triangles on
     lanes).
 
-  * `closest_hit_dense` runs the test tiled [TN rays x TF tris] with a
-    running (best_t, best_fid) minimum. On TPU it is a Pallas kernel
-    (grid over ray tiles x tri tiles, output block revisited across the
-    tri axis like a matmul accumulator, everything VMEM-resident); on
-    CPU an jnp scan with identical hit semantics, so images match
-    across backends.
+  * `closest_hit_dense` runs the test as a branch-free Pallas kernel
+    (grid over ray tiles x tri tiles, lane-local running best, one
+    cross-lane argmin per ray tile at the last grid step, everything
+    VMEM-resident); on CPU an jnp scan with identical hit semantics, so
+    images match across backends.
 
-  * two levels of lockstep work-skipping inside the kernel: dead ray
-    tiles (wavefront compaction -- see the `mask` arg) and per-cluster
-    AABB culling: triangles are morton-sorted into CLUSTER-wide runs
-    whose AABBs ride in SMEM; a [rays x CLUSTER] block only runs if
-    some live ray's slab test passes with near <= its running best t.
-    Both tests are tile-granular, so the hot loop stays gather-free
-    and branch-free -- the TPU answer to BVH traversal divergence.
+Why branch-free (round-3 kernel lab, tools/kernel_lab.py): the round-2
+kernel gated every 128-triangle morton cluster behind a slab test +
+cross-lane `any` + `@pl.when` branch and stable-partitioned masked-off
+rays into skippable tiles. Measured on the real chip, that machinery
+COSTS more than it saves at every coherence level: 24.8 Gpairs/s
+(production r2) vs 63.9 Gpairs/s (branch-free) on incoherent rays, and
+even fully coherent camera-ray tiles ran 43.3 ms gated vs 33.6 ms bare
+per 1M x 2048 dispatch. The XLA-side stable partition cost another
+~33 ms per masked call (gathers run at ~150-650 M elem/s on this
+backend) -- ~2.1 s/frame at 64 calls, half the round-2 frame. So: no
+per-cluster gates, no partitioning; `mask` is semantics only (forced
+miss, applied as a post-mask). For LARGE scenes where skipping whole
+regions is worth a branch, `SUPER`-granularity gating (1024 triangles
+per gate, amortizing the branch cost 8x) is enabled automatically --
+see `_GATE_MIN_FACES`.
 
 Hit semantics match `closest_hit_bruteforce` (ops/intersect.py), i.e.
 the reference's acceptance rules (geometry_queries.h:66-86 +
@@ -61,13 +68,19 @@ from tinypathtracer_tpu.utils.math3d import DELTA, REAL_MAX, vcross, vdot
 
 # Tile sizes: rays on sublanes, triangles on lanes. TF is a multiple of
 # 128 (lane width); TN a multiple of 8 (f32 sublane tile). CLUSTER is
-# the culling granularity: triangles are morton-sorted and grouped into
-# CLUSTER-wide runs, each with an AABB the kernel tests BEFORE running
-# the [rays x CLUSTER] hit test -- a flat, lockstep stand-in for BVH
-# traversal (spatial cull + running-best-t cull) with zero gathers.
+# the lane-block width of the inner loop (one [TN x CLUSTER] VPU block
+# per step); SUPER is the gating granularity for large scenes: morton-
+# sorted runs of SUPER triangles get an AABB, and the kernel slab-tests
+# a ray tile against it before paying for the run's 8 blocks. Gating is
+# only a win when the skip saves much more than the branch costs --
+# measured break-even is ~8 blocks per gate (tools/kernel_lab.py).
 TILE_RAYS = 256
-TILE_TRIS = 512
+TILE_TRIS = 4096
 CLUSTER = 128
+SUPER = 1024
+# Scenes smaller than this run the pure branch-free kernel: gates can
+# only lose when there are this few SUPER runs to skip.
+_GATE_MIN_FACES = 4096
 
 _I32_MAX = 2**31 - 1  # plain int: jnp scalars would be captured consts in Pallas
 
@@ -85,18 +98,16 @@ class WoopTris:
 
     perm: [Fp] i32, morton slot -> ORIGINAL face id (intersection
     results must be mapped through this before touching face tables).
-    cl_boxes: [8, Fp/CLUSTER] f32 per-cluster AABBs; rows 0-2 = bmin
-    xyz, rows 3-5 = bmax xyz, row 6 = validity (1.0 if the cluster
-    holds at least one real face, 0.0 for all-padding clusters -- the
-    kernel ANDs this into its cull so empty tails cost nothing), row 7
-    zero padding.
+    sp_boxes: [8, Fp/SUPER] f32 per-SUPER-run AABBs: rows 0-2 bmin xyz,
+    rows 3-5 bmax xyz, row 6 validity (0.0 for all-padding runs), row 7
+    zero padding. Consumed only by the gated kernel for large scenes.
     """
 
     wx: jnp.ndarray
     wy: jnp.ndarray
     wz: jnp.ndarray
     perm: jnp.ndarray
-    cl_boxes: jnp.ndarray
+    sp_boxes: jnp.ndarray
     n_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -104,13 +115,15 @@ class WoopTris:
         return self.wx.shape[1]
 
 
-def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
-    """[F, 3, 3] world-space triangles -> WoopTris (padded to `tile`).
+def precompute_woop(tri_verts) -> WoopTris:
+    """[F, 3, 3] world-space triangles -> WoopTris.
 
-    Runs inside the jitted frame (tri_verts is per-frame world geometry,
-    cf. the reference's per-frame `transform` kernel feeding the BVH
-    rebuild, path_tracer.cu:536-542); cost is O(F log F) for the morton
-    sort, negligible next to tracing.
+    Small scenes pad to a CLUSTER multiple; large ones (gated kernel)
+    to a TILE_TRIS multiple so the 2D grid tiles evenly. Runs inside
+    the jitted frame (tri_verts is per-frame world geometry, cf. the
+    reference's per-frame `transform` kernel feeding the BVH rebuild,
+    path_tracer.cu:536-542); cost is O(F log F) for the morton sort,
+    negligible next to tracing.
     """
     from tinypathtracer_tpu.ops.lbvh import morton30
 
@@ -136,29 +149,30 @@ def precompute_woop(tri_verts, tile: int = TILE_TRIS) -> WoopTris:
     w = jnp.stack([r0, r1, r2], axis=1)            # [F, 3(row), 3(col)]
     c = -jnp.einsum("frc,fc->fr", w, v0)           # [F, 3]
     planes = jnp.concatenate([w, c[:, :, None]], axis=2)  # [F, 3, 4]
-    pad = (-f) % tile
+    quantum = CLUSTER if f <= _GATE_MIN_FACES else TILE_TRIS
+    pad = (-f) % quantum
     planes = jnp.pad(planes, ((0, pad), (0, 0), (0, 0)))
     planes = planes.transpose(1, 2, 0)             # [3, 4, Fp]
+    fp = planes.shape[2]
 
-    # Per-cluster AABBs in morton order; padding rows get an inverted
-    # box AND clusters with no real face get validity 0 in row 6 (the
-    # inverted box alone does not fail the kernel's normalized slab
-    # test -- min/max of (t0, t1) turns it all-encompassing).
+    # Per-SUPER-run AABBs in morton order (gated kernel only). Padding
+    # rows get an inverted box; all-padding runs get validity 0.
     bmin_s = jnp.pad(fb_min[order], ((0, pad), (0, 0)),
                      constant_values=REAL_MAX)
     bmax_s = jnp.pad(fb_max[order], ((0, pad), (0, 0)),
                      constant_values=-REAL_MAX)
-    n_cl = planes.shape[2] // CLUSTER
-    cl_min = bmin_s.reshape(n_cl, CLUSTER, 3).min(axis=1)   # [C, 3]
-    cl_max = bmax_s.reshape(n_cl, CLUSTER, 3).max(axis=1)
-    cl_valid = (jnp.arange(n_cl, dtype=jnp.int32) * CLUSTER < f)
-    cl_boxes = jnp.concatenate(
-        [cl_min.T, cl_max.T, cl_valid[None].astype(cl_min.dtype),
-         jnp.zeros((1, n_cl), cl_min.dtype)], axis=0)
+    sp = SUPER if fp % SUPER == 0 else CLUSTER
+    n_sp = fp // sp
+    sp_min = bmin_s.reshape(n_sp, sp, 3).min(axis=1)   # [S, 3]
+    sp_max = bmax_s.reshape(n_sp, sp, 3).max(axis=1)
+    sp_valid = (jnp.arange(n_sp, dtype=jnp.int32) * sp < f)
+    sp_boxes = jnp.concatenate(
+        [sp_min.T, sp_max.T, sp_valid[None].astype(sp_min.dtype),
+         jnp.zeros((1, n_sp), sp_min.dtype)], axis=0)
 
     perm = jnp.pad(order, (0, pad))
     return WoopTris(wx=planes[0], wy=planes[1], wz=planes[2],
-                    perm=perm, cl_boxes=cl_boxes, n_faces=f)
+                    perm=perm, sp_boxes=sp_boxes, n_faces=f)
 
 
 def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
@@ -180,151 +194,154 @@ def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
     return jnp.where(ok, t, REAL_MAX)
 
 
-def _dense_kernel(rays_ref, mask_ref, wx_ref, wy_ref, wz_ref, cl_ref,
-                  t_ref, fid_ref, lane_t, lane_c, hint):
-    """One ray tile vs one tri tile.
+def _make_dense_kernel(tf: int, gated: bool):
+    """Build the kernel body for one (ray tile, tri tile) grid step.
 
-    The running best is kept LANE-LOCAL: lane_t/lane_c [TN, CLUSTER]
-    scratch hold, per (ray, lane) pair, the best t over all clusters
-    visited so far and which cluster produced it. The inner loop is
-    therefore pure elementwise VPU work -- no cross-lane min/argmin per
-    cluster (v1 paid two 128-lane reductions plus an iota/select per
-    cluster, ~30% of its runtime). One cross-lane argmin runs once per
-    ray tile at the last grid step. Tie semantics are unchanged
-    (lowest morton slot wins): strict '<' updates keep the earliest
-    cluster per lane, and the final reduce takes the lowest fid among
-    equal-t lanes.
+    Branch-free inner loop: one [TN x CLUSTER] block of pure VPU
+    arithmetic per morton cluster, with the running best kept LANE-
+    LOCAL (lane_t/lane_c [TN, CLUSTER] scratch hold, per (ray, lane)
+    pair, the best t over all clusters visited so far and which cluster
+    produced it) so there is no cross-lane work in the hot loop. One
+    cross-lane argmin runs per ray tile at the last grid step. Tie
+    semantics: strict '<' updates keep the earliest cluster per lane,
+    and the final reduce takes the lowest fid among equal-t lanes, so
+    the lowest morton slot wins overall.
 
-    hint [TN, 1] is a per-ray upper bound on best t (refreshed once per
-    tri tile) used to cull cluster AABBs behind the current best hit.
+    gated=True adds a slab-test gate per SUPER run (8 clusters): the
+    [TN] ray tile skips the run's 8 blocks when no ray's slab interval
+    intersects it ahead of that ray's running best (hint, refreshed
+    once per run). Only enabled for large scenes (_GATE_MIN_FACES);
+    measured break-even on v5e is ~8 blocks per gate.
     """
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-    tf = wx_ref.shape[1]
     n_sub = tf // CLUSTER
 
-    @pl.when(j == 0)
-    def _():
-        lane_t[:] = jnp.full_like(lane_t, REAL_MAX)
-        lane_c[:] = jnp.zeros_like(lane_c)
-        hint[:] = jnp.full_like(hint, REAL_MAX)
+    def kernel(rays_ref, wx_ref, wy_ref, wz_ref, sp_ref,
+               t_ref, fid_ref, lane_t, lane_c, hint):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
 
-    # Dead-lane compaction: the caller stable-partitions rays so inactive
-    # lanes cluster into whole ray tiles; a tile with no active lane
-    # skips the test entirely. This is the TPU form of wavefront stream
-    # compaction (SURVEY.md par. 7 phase 3) -- shapes stay static, work
-    # becomes proportional to ceil(live/TN) instead of N.
-    @pl.when(jnp.any(mask_ref[:] != 0))
-    def _():
+        @pl.when(j == 0)
+        def _():
+            lane_t[:] = jnp.full_like(lane_t, REAL_MAX)
+            lane_c[:] = jnp.zeros_like(lane_c)
+            hint[:] = jnp.full_like(hint, REAL_MAX)
+
         r = rays_ref[:]
         ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
         dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
-        # Safe reciprocals for the slab test (traverse.py convention:
-        # huge-but-finite so 0 * inv stays 0, keeping the test
-        # conservative for rays parallel to a slab).
-        ivx = jnp.where(dx == 0.0, REAL_MAX, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
-        ivy = jnp.where(dy == 0.0, REAL_MAX, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
-        ivz = jnp.where(dz == 0.0, REAL_MAX, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
-        live = mask_ref[:] != 0
 
-        # Hierarchical cull: per morton cluster of CLUSTER triangles,
-        # slab-test the whole ray tile against the cluster AABB clipped
-        # by each ray's best-t hint; only clusters some live ray still
-        # needs pay for the [TN x CLUSTER] hit test. Flat-array
-        # BVH-style pruning with no per-ray gathers or stacks.
-        for sc in range(n_sub):
-            lo = sc * CLUSTER
-            ci = j * n_sub + sc          # absolute cluster index
-            tx0 = (cl_ref[0, ci] - ox) * ivx
-            ty0 = (cl_ref[1, ci] - oy) * ivy
-            tz0 = (cl_ref[2, ci] - oz) * ivz
-            tx1 = (cl_ref[3, ci] - ox) * ivx
-            ty1 = (cl_ref[4, ci] - oy) * ivy
-            tz1 = (cl_ref[5, ci] - oz) * ivz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
-            need = live & (far >= jnp.maximum(near, DELTA)) \
-                & (near <= hint[:]) & (cl_ref[6, ci] != 0.0)
+        if gated:
+            # Safe reciprocals for the slab test: huge-but-finite so
+            # 0 * inv stays 0, keeping the test conservative for rays
+            # parallel to a slab.
+            ivx = jnp.where(dx == 0.0, REAL_MAX,
+                            1.0 / jnp.where(dx == 0.0, 1.0, dx))
+            ivy = jnp.where(dy == 0.0, REAL_MAX,
+                            1.0 / jnp.where(dy == 0.0, 1.0, dy))
+            ivz = jnp.where(dz == 0.0, REAL_MAX,
+                            1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
-            @pl.when(jnp.any(need))
-            def _(lo=lo, ci=ci):
-                wx = wx_ref[:, lo:lo + CLUSTER]
-                wy = wy_ref[:, lo:lo + CLUSTER]
-                wz = wz_ref[:, lo:lo + CLUSTER]
-                opx = ox * wx[0:1] + oy * wx[1:2] + oz * wx[2:3] + wx[3:4]
-                opy = ox * wy[0:1] + oy * wy[1:2] + oz * wy[2:3] + wy[3:4]
-                opz = ox * wz[0:1] + oy * wz[1:2] + oz * wz[2:3] + wz[3:4]
-                dpx = dx * wx[0:1] + dy * wx[1:2] + dz * wx[2:3]
-                dpy = dx * wy[0:1] + dy * wy[1:2] + dz * wy[2:3]
-                dpz = dx * wz[0:1] + dy * wz[1:2] + dz * wz[2:3]
-                t = -opz / dpz   # inf/NaN on parallel/degenerate: rejected
-                u = opx + t * dpx
-                v = opy + t * dpy
-                ok = (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0) \
-                    & (t > DELTA) & (t < lane_t[:])
-                lane_t[:] = jnp.where(ok, t, lane_t[:])
-                lane_c[:] = jnp.where(ok, ci, lane_c[:])
+        def cluster_block(lo, ci):
+            wx = wx_ref[:, lo:lo + CLUSTER]
+            wy = wy_ref[:, lo:lo + CLUSTER]
+            wz = wz_ref[:, lo:lo + CLUSTER]
+            opx = ox * wx[0:1] + oy * wx[1:2] + oz * wx[2:3] + wx[3:4]
+            opy = ox * wy[0:1] + oy * wy[1:2] + oz * wy[2:3] + wy[3:4]
+            opz = ox * wz[0:1] + oy * wz[1:2] + oz * wz[2:3] + wz[3:4]
+            dpx = dx * wx[0:1] + dy * wx[1:2] + dz * wx[2:3]
+            dpy = dx * wy[0:1] + dy * wy[1:2] + dz * wy[2:3]
+            dpz = dx * wz[0:1] + dy * wz[1:2] + dz * wz[2:3]
+            t = -opz / dpz   # inf/NaN on parallel/degenerate: rejected
+            u = opx + t * dpx
+            v = opy + t * dpy
+            ok = (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0) \
+                & (t > DELTA) & (t < lane_t[:])
+            lane_t[:] = jnp.where(ok, t, lane_t[:])
+            lane_c[:] = jnp.where(ok, ci, lane_c[:])
 
-        # refresh the per-ray best-t bound once per tri tile (one lane
-        # reduction amortized over n_sub clusters)
-        hint[:] = jnp.min(lane_t[:], axis=1, keepdims=True)
+        if not gated:
+            for sc in range(n_sub):
+                cluster_block(sc * CLUSTER, j * n_sub + sc)
+        else:
+            per_gate = SUPER // CLUSTER
+            for g in range(n_sub // per_gate):
+                si = j * (n_sub // per_gate) + g   # absolute SUPER index
+                tx0 = (sp_ref[0, si] - ox) * ivx
+                ty0 = (sp_ref[1, si] - oy) * ivy
+                tz0 = (sp_ref[2, si] - oz) * ivz
+                tx1 = (sp_ref[3, si] - ox) * ivx
+                ty1 = (sp_ref[4, si] - oy) * ivy
+                tz1 = (sp_ref[5, si] - oz) * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                              jnp.maximum(ty0, ty1)),
+                                  jnp.maximum(tz0, tz1))
+                need = (far >= jnp.maximum(near, DELTA)) \
+                    & (near <= hint[:]) & (sp_ref[6, si] != 0.0)
 
-    # Final cross-lane argmin, once per ray tile (runs for dead tiles
-    # too, so their outputs are well-defined misses).
-    @pl.when(j == nj - 1)
-    def _():
-        lt = lane_t[:]
-        m = jnp.min(lt, axis=1, keepdims=True)                 # [TN, 1]
-        lane = lax.broadcasted_iota(jnp.int32, lt.shape, 1)
-        fid_all = lane_c[:] * CLUSTER + lane
-        cand = jnp.min(jnp.where(lt == m, fid_all, _I32_MAX),
-                       axis=1, keepdims=True)
-        t_ref[:] = m
-        fid_ref[:] = jnp.where(m >= REAL_MAX, -1, cand)
+                @pl.when(jnp.any(need))
+                def _(g=g, si=si):
+                    for sc in range(per_gate):
+                        cluster_block(g * SUPER + sc * CLUSTER,
+                                      si * per_gate + sc)
+
+                hint[:] = jnp.min(lane_t[:], axis=1, keepdims=True)
+
+        # Final cross-lane argmin, once per ray tile.
+        @pl.when(j == nj - 1)
+        def _():
+            lt = lane_t[:]
+            m = jnp.min(lt, axis=1, keepdims=True)                 # [TN, 1]
+            lane = lax.broadcasted_iota(jnp.int32, lt.shape, 1)
+            fid_all = lane_c[:] * CLUSTER + lane
+            cand = jnp.min(jnp.where(lt == m, fid_all, _I32_MAX),
+                           axis=1, keepdims=True)
+            t_ref[:] = m
+            fid_ref[:] = jnp.where(m >= REAL_MAX, -1, cand)
+
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_rays", "tile_tris", "interpret"))
-def _dense_pallas(rays, mask, wx, wy, wz, cl_boxes,
+                   static_argnames=("tile_rays", "tile_tris", "gated",
+                                    "interpret"))
+def _dense_pallas(rays, wx, wy, wz, sp_boxes,
                   tile_rays: int = TILE_RAYS,
-                  tile_tris: int = TILE_TRIS, interpret: bool = False):
+                  tile_tris: int = TILE_TRIS,
+                  gated: bool = False, interpret: bool = False):
     n = rays.shape[0]
     fp = wx.shape[1]
     tn = min(tile_rays, max(8, -(-n // 8) * 8))   # multiple of 8 (f32 sublane)
     pad = (-n) % tn
     rays_p = jnp.pad(rays, ((0, pad), (0, 0))) if pad else rays
-    mask_p = jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask
     np_ = rays_p.shape[0]
     tf = min(tile_tris, fp)
-    if fp % tf or tf % CLUSTER or tn % 8:
+    gate_quantum = SUPER if gated else CLUSTER
+    if fp % tf or tf % gate_quantum or tn % 8:
         raise ValueError(
             f"dense tiling mismatch: padded faces {fp} must divide into "
-            f"tri tiles of {tf} (multiple of CLUSTER={CLUSTER}); ray tile "
+            f"tri tiles of {tf} (multiple of {gate_quantum}); ray tile "
             f"{tn} must be a multiple of 8. Pass precompute_woop(tile=...) "
             f"matching tile_tris.")
     grid = (np_ // tn, fp // tf)
 
     t, fid = pl.pallas_call(
-        _dense_kernel,
+        _make_dense_kernel(tf, gated),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            # ALL cluster AABBs ride in SMEM (tiny: 8 x Fp/CLUSTER);
-            # the kernel reads them as scalars for the per-cluster cull
-            pl.BlockSpec(cl_boxes.shape, lambda i, j: (0, 0),
+            # ALL SUPER-run AABBs ride in SMEM (tiny: 8 x Fp/SUPER);
+            # the gated kernel reads them as scalars
+            pl.BlockSpec(sp_boxes.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -340,12 +357,12 @@ def _dense_pallas(rays, mask, wx, wy, wz, cl_boxes,
         scratch_shapes=[
             pltpu.VMEM((tn, CLUSTER), jnp.float32),   # lane_t
             pltpu.VMEM((tn, CLUSTER), jnp.int32),     # lane_c
-            pltpu.VMEM((tn, 1), jnp.float32),         # hint
+            pltpu.VMEM((tn, 1), jnp.float32),         # hint (gated only)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(rays_p, mask_p, wx, wy, wz, cl_boxes)
+    )(rays_p, wx, wy, wz, sp_boxes)
     return t[:n, 0], fid[:n, 0]
 
 
@@ -390,23 +407,6 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _partition_live(mask):
-    """Stable partition permutation: live lanes first, order preserved.
-
-    Returns (pos, perm): pos[l] is lane l's slot in the packed order
-    (and thus the gather map packed->original results); perm is the
-    inverse (original index occupying each packed slot).
-    """
-    n = mask.shape[0]
-    mi = mask.astype(jnp.int32)
-    c = jnp.cumsum(mi)
-    total = c[-1]
-    i = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.where(mask, c - 1, total + i - c)
-    perm = jnp.zeros((n,), jnp.int32).at[pos].set(i)
-    return pos, perm
-
-
 def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
                       with_uv: bool = False, mask=None):
     """Closest hit against all triangles. origins/dirs: [N, 3].
@@ -418,32 +418,24 @@ def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
     bounce on TPU. Pass with_uv=True for the full contract (tests,
     standalone use).
 
-    mask ([N] bool, optional): lanes with mask=False are dead (their
-    result is forced to miss). On the Pallas path, rays are stable-
-    partitioned so dead lanes cluster into whole ray tiles the kernel
-    skips -- intersection work scales with the LIVE ray count, the TPU
-    equivalent of wavefront compaction between bounces. Results for
-    live lanes are bit-identical to the unmasked call.
+    mask ([N] bool, optional) is SEMANTICS ONLY: lanes with mask=False
+    report miss. All lanes run through the kernel regardless -- the
+    round-2 stable-partition compaction was measured at ~33 ms per
+    masked call on this backend vs the ~34 ms the whole 1M x 2048
+    kernel costs, so skipping dead lanes via data movement can never
+    pay here (see module docstring).
     """
     n = origins.shape[0]
     rays = jnp.concatenate(
         [origins, dirs, jnp.zeros((n, 2), origins.dtype)], axis=1)
     impl = os.environ.get("TPT_DENSE_IMPL", "auto")
     use_pallas = impl == "interpret" or (impl != "xla" and _use_pallas())
+    gated = woop.n_padded >= _GATE_MIN_FACES
     if use_pallas:
-        if mask is not None:
-            pos, perm = _partition_live(mask)
-            t, fid = _dense_pallas(rays[perm],
-                                   mask[perm].astype(jnp.int32)[:, None],
-                                   woop.wx, woop.wy, woop.wz, woop.cl_boxes,
-                                   tile_rays=tile_rays,
-                                   interpret=impl == "interpret")
-            t, fid = t[pos], fid[pos]
-        else:
-            t, fid = _dense_pallas(rays, jnp.ones((n, 1), jnp.int32),
-                                   woop.wx, woop.wy, woop.wz, woop.cl_boxes,
-                                   tile_rays=tile_rays,
-                                   interpret=impl == "interpret")
+        t, fid = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                               woop.sp_boxes,
+                               tile_rays=tile_rays, gated=gated,
+                               interpret=impl == "interpret")
     else:
         t, fid = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
     fid = jnp.where(fid >= woop.n_faces, -1, fid)   # padding can't win, but be safe
