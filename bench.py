@@ -25,6 +25,13 @@ def main():
     import numpy as np
     import jax
 
+    # The frame program takes minutes to compile on the remote TPU
+    # toolchain; persist compiled executables across processes.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from tinypathtracer_tpu import load_scene, RenderConfig, Renderer
     from tinypathtracer_tpu.models.envlight import gradient_sky
 

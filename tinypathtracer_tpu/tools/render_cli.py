@@ -31,7 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--mode", choices=["reference", "physical"], default="reference")
-    p.add_argument("--intersector", choices=["bvh", "bruteforce"], default="bvh")
+    # default matches config.RenderConfig: "dense" is the fast TPU path
+    # for reference-scale scenes; "bvh"/"wbvh" are the tree walks,
+    # "bruteforce" the Moller-Trumbore oracle.
+    p.add_argument("--intersector",
+                   choices=["dense", "bvh", "wbvh", "bruteforce"],
+                   default="dense")
+    p.add_argument("--bvh-source", choices=["device", "host"],
+                   default="device",
+                   help="where the LBVH is built (intersector=bvh): "
+                        "'device' rebuilds inside the jitted frame, "
+                        "'host' builds once per scene on CPU")
+    p.add_argument("--aov", choices=["normal", "depth", "hitmask"],
+                   default=None,
+                   help="render a debug AOV instead of the beauty pass "
+                        "(reference RENDER_NORMAL path_tracer.cu:322-342 "
+                        "/ hit-mask debug_utils.h:130-169)")
     p.add_argument("--tile-pixels", type=int, default=16384)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shard", action="store_true",
@@ -56,10 +71,22 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, mode=args.mode,
                        intersector=args.intersector,
+                       bvh_source=args.bvh_source,
                        tile_pixels=min(args.tile_pixels, args.width * args.height))
     key = jax.random.PRNGKey(args.seed)
 
     t0 = time.perf_counter()
+    if args.aov:
+        from tinypathtracer_tpu.render.aov import render_aov_jit
+
+        img = np.asarray(render_aov_jit(flat, cfg, key, args.aov))
+        dt = time.perf_counter() - t0
+        film.write_png(args.out, img)
+        if args.stats:
+            print(json.dumps({"seconds": round(dt, 3), "aov": args.aov,
+                              "mean": float(img.mean())}), file=sys.stderr)
+        print(args.out)
+        return
     if args.shard:
         from tinypathtracer_tpu.parallel.mesh import make_mesh
         from tinypathtracer_tpu.parallel.shard import make_sharded_renderer
