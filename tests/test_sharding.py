@@ -77,7 +77,7 @@ def test_sharded_train_step_runs_and_descends(flat):
     # not a distribution one)
     mask = Params(mtl_base_color=True, mtl_emission=False,
                   light_intensity=False, env_radiance=False,
-                  cam_to_world=False)
+                  cam_to_world=False, tex_atlas=False)
     from tinypathtracer_tpu.diff.invrender import project_physical
     opt = optax.masked(optax.adam(0.05), mask)
     step = make_sharded_train_step(cfg, m, opt, project_fn=project_physical)

@@ -51,6 +51,7 @@ class Params:
     light_intensity: jnp.ndarray  # [L]
     env_radiance: jnp.ndarray     # [He, We, 3]
     cam_to_world: jnp.ndarray     # [4, 4]
+    tex_atlas: jnp.ndarray        # [T, Ht, Wt, 3] base-color texels
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "Params":
@@ -60,6 +61,7 @@ class Params:
             light_intensity=scene.light_intensity,
             env_radiance=scene.env_radiance,
             cam_to_world=scene.cam_to_world,
+            tex_atlas=scene.tex_atlas,
         )
 
 
@@ -72,6 +74,7 @@ def apply_params(scene: FlatScene, params: Params) -> FlatScene:
         light_intensity=params.light_intensity,
         env_radiance=params.env_radiance,
         cam_to_world=params.cam_to_world,
+        tex_atlas=params.tex_atlas,
     )
 
 

@@ -95,6 +95,11 @@ class GltfDocument:
     materials: Dict[str, GltfMaterial]
     lights: List[GltfLight]
     camera: Optional[GltfCamera]
+    # decoded texture images, indexed by glTF TEXTURE index (already
+    # resolved through textures[].source): [H, W, 3] f32 in [0, 1].
+    # The reference parses baseColorTexture but never uploads it
+    # (TODOs mesh.cu:155, mesh.cuh:114); we finish the job.
+    images: List[np.ndarray] = dataclasses.field(default_factory=list)
 
 
 def _load_buffers(doc: dict, base_dir: str) -> List[bytes]:
@@ -168,6 +173,39 @@ def _parse_material(mat: dict) -> GltfMaterial:
             ext["KHR_materials_emissive_strength"].get("emissiveStrength", 0.0))
     if "KHR_materials_ior" in ext:
         out.eta = float(ext["KHR_materials_ior"].get("ior", 0.0))
+    return out
+
+
+def _load_texture_images(doc: dict, buffers, base_dir: str) -> List[np.ndarray]:
+    """One decoded [H, W, 3] image per glTF TEXTURE (not per image)."""
+    import io
+
+    from PIL import Image
+
+    from tinypathtracer_tpu.utils.native import b64_decode
+
+    def decode(img):
+        uri = img.get("uri")
+        if uri is not None:
+            if uri.startswith("data:"):
+                _, payload = uri.split(",", 1)
+                raw = io.BytesIO(b64_decode(payload))
+            else:
+                raw = os.path.join(base_dir, uri)
+        else:
+            view = doc["bufferViews"][img["bufferView"]]
+            buf = buffers[view.get("buffer", 0)]
+            off = view.get("byteOffset", 0)
+            raw = io.BytesIO(buf[off:off + view["byteLength"]])
+        pil = Image.open(raw).convert("RGB")
+        return np.asarray(pil, dtype=np.float32) / 255.0
+
+    images = [decode(i) for i in doc.get("images", [])]
+    out = []
+    for tex in doc.get("textures", []):
+        src_i = tex.get("source")
+        out.append(images[src_i] if src_i is not None and src_i < len(images)
+                   else np.ones((1, 1, 3), np.float32))
     return out
 
 
@@ -261,4 +299,6 @@ def read_gltf(path: str) -> GltfDocument:
                 raise ValueError(f"unsupported light type {kind!r}")
             lights.append(light)
 
-    return GltfDocument(meshes=meshes, materials=materials, lights=lights, camera=camera)
+    return GltfDocument(meshes=meshes, materials=materials, lights=lights,
+                        camera=camera,
+                        images=_load_texture_images(doc, buffers, base_dir))

@@ -30,6 +30,18 @@ from tinypathtracer_tpu.models import gltf as gltf_mod
 from tinypathtracer_tpu.models.camera import Camera
 from tinypathtracer_tpu.utils.math3d import trs_to_mat4, normal_matrix
 
+
+def _resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear-resample [H, W, 3] f32 to [h, w, 3] (atlas layers must
+    share one shape)."""
+    if img.shape[0] == h and img.shape[1] == w:
+        return img.astype(np.float32)
+    from PIL import Image
+
+    pil = Image.fromarray((np.clip(img, 0.0, 1.0) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((w, h), Image.BILINEAR),
+                      dtype=np.float32) / 255.0
+
 # Light kind codes (order matches reference delta_light.h:9-14)
 LIGHT_POINT = 0
 LIGHT_DIRECTIONAL = 1
@@ -82,6 +94,21 @@ class FlatScene:
     cam_yfov: jnp.ndarray        # [] f32 radians
     cam_aspect: jnp.ndarray      # [] f32
     cam_znear: jnp.ndarray       # [] f32
+
+    # Base-color texture atlas: [T, Ht, Wt, 3] f32 layers (all textures
+    # resampled to one shape so the pytree stays static), plus the
+    # per-material layer index (-1 = untextured). The reference parses
+    # baseColorTexture but never uploads or shades with it (TODOs
+    # mesh.cu:155, mesh.cuh:114); this completes that path. A [1,1,1,3]
+    # white atlas means "scene has no textures" and the integrator
+    # statically skips all texture work (has_textures).
+    tex_atlas: jnp.ndarray       # [T, Ht, Wt, 3] f32
+    mtl_tex_id: jnp.ndarray      # [M] i32, -1 = none
+
+    @property
+    def has_textures(self) -> bool:
+        return self.tex_atlas.shape[1] > 1 or self.tex_atlas.shape[2] > 1 \
+            or self.tex_atlas.shape[0] > 1
 
     @property
     def n_faces(self) -> int:
@@ -164,6 +191,26 @@ class Scene:
         lights = doc.lights
         n_l = len(lights)
 
+        # Base-color texture atlas: only layers some material actually
+        # references, all resampled to one (max) shape so the pytree is
+        # static. Untextured scenes get the sentinel [1,1,1,3] white
+        # atlas (FlatScene.has_textures == False, zero runtime cost).
+        tex_ids = sorted({m.base_color_texture for m in mtls
+                          if m.base_color_texture is not None
+                          and m.base_color_texture < len(doc.images)})
+        if tex_ids:
+            imgs = [doc.images[t] for t in tex_ids]
+            ah = max(i.shape[0] for i in imgs)
+            aw = max(i.shape[1] for i in imgs)
+            atlas = np.stack([_resize_image(i, ah, aw) for i in imgs])
+            remap = {t: k for k, t in enumerate(tex_ids)}
+            mtl_tex_id = [remap.get(m.base_color_texture, -1)
+                          if m.base_color_texture is not None else -1
+                          for m in mtls]
+        else:
+            atlas = np.ones((1, 1, 1, 3), np.float32)
+            mtl_tex_id = [-1] * len(mtls)
+
         def f32(x):
             return jnp.asarray(np.asarray(x, dtype=np.float32))
 
@@ -209,6 +256,8 @@ class Scene:
             cam_yfov=f32(self.camera.yfov),
             cam_aspect=f32(self.camera.aspect),
             cam_znear=f32(self.camera.znear),
+            tex_atlas=f32(atlas),
+            mtl_tex_id=i32(mtl_tex_id),
         )
 
 

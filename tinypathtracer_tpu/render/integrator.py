@@ -85,16 +85,22 @@ class TraceData:
     env_marginal_cdf: jnp.ndarray
     env_conditional_cdf: jnp.ndarray
     env_pdf: jnp.ndarray
-    # Fused per-face shading table [F, 24]: corner normals (9), base
+    # Fused per-face shading table [F, 30]: corner normals (9), base
     # color (3), emission (1), eta (1), metallic (1), triangle
-    # vertices (9). One row gather per bounce replaces ~12
-    # separate gathers (two-level for normals) -- on TPU the bounce
-    # glue between intersection kernels is gather-bound, so packing is
-    # a direct wall-clock win. Gradients flow through the pack gather
-    # to vertices/normals/materials exactly as they did through the
-    # individual gathers.
+    # vertices (9), corner texcoords (6). One row gather per bounce
+    # replaces ~14 separate gathers (two-level for normals) -- on TPU
+    # the bounce glue between intersection kernels is gather-bound, so
+    # packing is a direct wall-clock win. Gradients flow through the
+    # pack gather to vertices/normals/materials exactly as they did
+    # through the individual gathers.
     face_pack: jnp.ndarray
     face_emission: jnp.ndarray   # [F] emission only, for cheap lookups
+    # base-color texturing (completes the reference's TODO at
+    # mesh.cu:155 / mesh.cuh:114): per-face atlas layer (-1 = none) and
+    # the atlas itself ([1,1,1,3] sentinel = scene has no textures; the
+    # integrator then skips texture work at trace time)
+    face_tex: jnp.ndarray        # [F] i32
+    tex_atlas: jnp.ndarray       # [T, Ht, Wt, 3] f32
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "TraceData":
@@ -111,6 +117,7 @@ class TraceData:
             scene.mtl_eta[scene.face_mtl][:, None],
             scene.mtl_metallic[scene.face_mtl][:, None],
             tri_verts.reshape(f, 9),
+            scene.texcoords[scene.indices].reshape(f, 6),
         ], axis=1)
         return TraceData(
             tri_verts=tri_verts,
@@ -134,6 +141,8 @@ class TraceData:
             env_pdf=tables.pdf,
             face_pack=face_pack,
             face_emission=face_emission,
+            face_tex=scene.mtl_tex_id[scene.face_mtl],
+            tex_atlas=scene.tex_atlas,
         )
 
 
@@ -233,6 +242,27 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         emission = pack[:, 12]
         eta = pack[:, 13]
         metallic = pack[:, 14]
+
+        # Base-color texture modulation (shape-static skip for
+        # untextured scenes). Point-sampled with wrap addressing,
+        # matching the reference's cudaFilterModePoint texture objects
+        # (texture.cu:129-170); glTF uv origin is top-left so v maps to
+        # rows directly. Texel gradients flow through the gather.
+        if (data.tex_atlas.shape[0] > 1 or data.tex_atlas.shape[1] > 1
+                or data.tex_atlas.shape[2] > 1):
+            th, tw = data.tex_atlas.shape[1], data.tex_atlas.shape[2]
+            uv_t = (w_[:, None] * pack[:, 24:26]
+                    + u_[:, None] * pack[:, 26:28]
+                    + v_[:, None] * pack[:, 28:30])
+            uv_t = lax.stop_gradient(uv_t)   # texel choice is discrete
+            tid = data.face_tex[jnp.maximum(fid, 0)]
+            tx = jnp.clip((jnp.mod(uv_t[:, 0], 1.0) * tw).astype(jnp.int32),
+                          0, tw - 1)
+            ty = jnp.clip((jnp.mod(uv_t[:, 1], 1.0) * th).astype(jnp.int32),
+                          0, th - 1)
+            texel = data.tex_atlas[jnp.maximum(tid, 0), ty, tx]
+            base_color = base_color * jnp.where((tid >= 0)[:, None],
+                                                texel, 1.0)
 
         # Terminal: emissive hit contributes the raw scalar emission
         # (path_tracer.cu:408-412, 421-423)
