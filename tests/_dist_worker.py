@@ -1,0 +1,93 @@
+"""Worker process for the 2-process CPU loopback test (multi-host
+analogue without TPU hardware). Spawned by tests/test_distributed.py:
+
+    python tests/_dist_worker.py <port> <rank>
+
+Each process gets 4 virtual CPU devices; jax.distributed stitches them
+into one 8-device cluster over loopback TCP (the DCN stand-in). Prints
+one JSON result line prefixed RESULT:.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    port, rank = sys.argv[1], int(sys.argv[2])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tinypathtracer_tpu.parallel.distributed import initialize, global_mesh
+
+    initialize(f"127.0.0.1:{port}", num_processes=2, process_id=rank)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, jax.devices()
+
+    mesh = global_mesh(n_sample=2)   # (data=4, sample=2) across 2 hosts
+
+    # --- plain psum across the whole cluster (rides loopback DCN) ----
+    local = np.arange(4, dtype=np.float32) + 10.0 * rank   # per local device
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(("data", "sample"))),
+        local.reshape(4), (8,))
+
+    @jax.jit
+    @functools_partial_shard(mesh)
+    def total(x):
+        return jax.lax.psum(jnp.sum(x), ("data", "sample"))
+
+    tot = float(total(garr))
+
+    # --- sharded gradient step over the full framework path ----------
+    from tinypathtracer_tpu import RenderConfig, load_scene
+    from tinypathtracer_tpu.diff.invrender import Params, make_sharded_train_step
+    from tinypathtracer_tpu.models.envlight import gradient_sky
+
+    flat = load_scene("/root/reference/input/tir.gltf").flatten(
+        env_radiance=gradient_sky(4, 8))
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=2,
+                       intersector="dense", tile_pixels=16)
+    params = Params.from_scene(flat)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(params)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+
+    step = make_sharded_train_step(cfg, mesh, opt)
+    params2, _, loss = step(params, opt_state, flat, target,
+                            jax.random.PRNGKey(3))
+    gnorm = float(jnp.linalg.norm(
+        params.mtl_base_color - params2.mtl_base_color))
+
+    print("RESULT:" + json.dumps({
+        "rank": rank, "processes": jax.process_count(),
+        "devices": len(jax.devices()), "psum_total": tot,
+        "loss": float(loss), "gnorm": gnorm,
+    }), flush=True)
+
+
+def functools_partial_shard(mesh):
+    """shard_map decorator: x sharded over the flat mesh, scalar out
+    replicated."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def deco(f):
+        return shard_map(f, mesh=mesh,
+                         in_specs=P(("data", "sample")),
+                         out_specs=P())
+    return deco
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""2-process CPU loopback test: the multi-host path without hardware.
+
+SURVEY.md par. 4/par. 5 ask for exactly this: jax.distributed over
+loopback so the DP sharding and gradient-psum paths run in CI without
+a TPU pod. Two subprocesses x 4 virtual CPU devices = one 8-device
+cluster; the radiance/grad psums compile onto the loopback "DCN".
+
+Runs as subprocesses because jax.distributed can only initialize once
+per process (the pytest process itself stays single-host).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_loopback():
+    port = _free_port()
+    env = dict(os.environ)
+    # the workers must own their jax platform config; in particular the
+    # axon site hook (PYTHONPATH) initializes a backend at import time,
+    # which would beat jax.distributed.initialize to it
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(port), str(rank)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for rank in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT:"):
+                r = json.loads(line[len("RESULT:"):])
+                results[r["rank"]] = r
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+
+    for r in results.values():
+        assert r["processes"] == 2
+        assert r["devices"] == 8
+        # psum of (0..3) + (10..13): 6 + 46 = 52
+        assert r["psum_total"] == pytest.approx(52.0)
+        assert np.isfinite(r["loss"]) and r["loss"] > 0
+        assert r["gnorm"] > 0          # the optimizer actually moved
+
+    # both hosts computed the SAME replicated loss and update
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["gnorm"] == pytest.approx(results[1]["gnorm"], rel=1e-6)
