@@ -43,11 +43,14 @@ def test_pallas_interpret_matches_xla_twin():
     tris, o, d = _random_scene(seed=3)
     woop = precompute_woop(tris)
     rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2), jnp.float32)], 1)
-    t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
-    t_p, f_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
-                             woop.sp_boxes, interpret=True)
+    t_x, f_x, uv_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
+    t_p, f_p, uv_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                                   woop.sp_boxes, with_uv=True,
+                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    hit = np.asarray(f_x) >= 0
+    np.testing.assert_array_equal(np.asarray(uv_x)[hit], np.asarray(uv_p)[hit])
 
 
 def test_gated_kernel_matches_xla_twin():
@@ -59,11 +62,14 @@ def test_gated_kernel_matches_xla_twin():
     woop = precompute_woop(tris)
     assert woop.n_padded >= _GATE_MIN_FACES
     rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2), jnp.float32)], 1)
-    t_x, f_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
-    t_p, f_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
-                             woop.sp_boxes, gated=True, interpret=True)
+    t_x, f_x, uv_x = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
+    t_p, f_p, uv_p = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                                   woop.sp_boxes, gated=True, with_uv=True,
+                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    hit = np.asarray(f_x) >= 0
+    np.testing.assert_array_equal(np.asarray(uv_x)[hit], np.asarray(uv_p)[hit])
 
 
 @pytest.mark.parametrize("impl", ["xla", "interpret"])

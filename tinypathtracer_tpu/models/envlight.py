@@ -80,7 +80,8 @@ def env_lookup(env_radiance, dirs):
     u, v = dir_to_uv(jax.lax.stop_gradient(dirs))
     col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, h - 1)
-    return env_radiance[row, col]
+    # single flat index: the 2-index gather lowers ~3x slower on TPU
+    return env_radiance.reshape(-1, 3)[row * w + col]
 
 
 @dataclasses.dataclass

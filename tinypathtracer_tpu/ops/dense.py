@@ -191,10 +191,10 @@ def _hit_planes(ox, oy, oz, dx, dy, dz, wx, wy, wz, best_t):
     u = opx + t * dpx
     v = opy + t * dpy
     ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > DELTA) & (t < best_t)
-    return jnp.where(ok, t, REAL_MAX)
+    return jnp.where(ok, t, REAL_MAX), u, v
 
 
-def _make_dense_kernel(tf: int, gated: bool):
+def _make_dense_kernel(tf: int, gated: bool, with_uv: bool = False):
     """Build the kernel body for one (ray tile, tri tile) grid step.
 
     Branch-free inner loop: one [TN x CLUSTER] block of pure VPU
@@ -216,7 +216,7 @@ def _make_dense_kernel(tf: int, gated: bool):
     n_sub = tf // CLUSTER
 
     def kernel(rays_ref, wx_ref, wy_ref, wz_ref, sp_ref,
-               t_ref, fid_ref, lane_t, lane_c, hint):
+               t_ref, fid_ref, uv_ref, lane_t, lane_c, lane_u, lane_v, hint):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
 
@@ -225,6 +225,9 @@ def _make_dense_kernel(tf: int, gated: bool):
             lane_t[:] = jnp.full_like(lane_t, REAL_MAX)
             lane_c[:] = jnp.zeros_like(lane_c)
             hint[:] = jnp.full_like(hint, REAL_MAX)
+            if with_uv:
+                lane_u[:] = jnp.zeros_like(lane_u)
+                lane_v[:] = jnp.zeros_like(lane_v)
 
         r = rays_ref[:]
         ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
@@ -258,6 +261,9 @@ def _make_dense_kernel(tf: int, gated: bool):
                 & (t > DELTA) & (t < lane_t[:])
             lane_t[:] = jnp.where(ok, t, lane_t[:])
             lane_c[:] = jnp.where(ok, ci, lane_c[:])
+            if with_uv:
+                lane_u[:] = jnp.where(ok, u, lane_u[:])
+                lane_v[:] = jnp.where(ok, v, lane_v[:])
 
         if not gated:
             for sc in range(n_sub):
@@ -300,17 +306,31 @@ def _make_dense_kernel(tf: int, gated: bool):
                            axis=1, keepdims=True)
             t_ref[:] = m
             fid_ref[:] = jnp.where(m >= REAL_MAX, -1, cand)
+            if with_uv:
+                # winner's (u, v): select the winning lane (same
+                # tie-break as fid: lowest fid among equal-t lanes)
+                win = (lt == m) & (fid_all == cand)
+                hit = m < REAL_MAX
+                uv_ref[:, 0:1] = jnp.where(
+                    hit, jnp.max(jnp.where(win, lane_u[:], -REAL_MAX),
+                                 axis=1, keepdims=True), 0.0)
+                uv_ref[:, 1:2] = jnp.where(
+                    hit, jnp.max(jnp.where(win, lane_v[:], -REAL_MAX),
+                                 axis=1, keepdims=True), 0.0)
+            else:
+                uv_ref[:] = jnp.zeros_like(uv_ref)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_rays", "tile_tris", "gated",
-                                    "interpret"))
+                                    "with_uv", "interpret"))
 def _dense_pallas(rays, wx, wy, wz, sp_boxes,
                   tile_rays: int = TILE_RAYS,
                   tile_tris: int = TILE_TRIS,
-                  gated: bool = False, interpret: bool = False):
+                  gated: bool = False, with_uv: bool = False,
+                  interpret: bool = False):
     n = rays.shape[0]
     fp = wx.shape[1]
     tn = min(tile_rays, max(8, -(-n // 8) * 8))   # multiple of 8 (f32 sublane)
@@ -327,8 +347,8 @@ def _dense_pallas(rays, wx, wy, wz, sp_boxes,
             f"matching tile_tris.")
     grid = (np_ // tn, fp // tf)
 
-    t, fid = pl.pallas_call(
-        _make_dense_kernel(tf, gated),
+    t, fid, uv = pl.pallas_call(
+        _make_dense_kernel(tf, gated, with_uv),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, 8), lambda i, j: (i, 0),
@@ -349,21 +369,26 @@ def _dense_pallas(rays, wx, wy, wz, sp_boxes,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((np_, 1), jnp.float32),
             jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+            jax.ShapeDtypeStruct((np_, 2), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tn, CLUSTER), jnp.float32),   # lane_t
             pltpu.VMEM((tn, CLUSTER), jnp.int32),     # lane_c
+            pltpu.VMEM((tn, CLUSTER), jnp.float32),   # lane_u (with_uv)
+            pltpu.VMEM((tn, CLUSTER), jnp.float32),   # lane_v (with_uv)
             pltpu.VMEM((tn, 1), jnp.float32),         # hint (gated only)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(rays_p, wx, wy, wz, sp_boxes)
-    return t[:n, 0], fid[:n, 0]
+    return t[:n, 0], fid[:n, 0], uv[:n]
 
 
 def _dense_xla(rays, wx, wy, wz):
@@ -375,27 +400,32 @@ def _dense_xla(rays, wx, wy, wz):
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     planes = jnp.stack([wx, wy, wz]).reshape(3, 4, n_tiles, tf)
+    rows = jnp.arange(n)
 
     def body(carry, args):
-        best_t, best_fid = carry
+        best_t, best_fid, best_uv = carry
         pw, j = args                                       # [3, 4, tf]
-        tc = _hit_planes(ox, oy, oz, dx, dy, dz,
-                         pw[0], pw[1], pw[2], best_t)
+        tc, u, v = _hit_planes(ox, oy, oz, dx, dy, dz,
+                               pw[0], pw[1], pw[2], best_t)
         row_t = jnp.min(tc, axis=1, keepdims=True)
         lane = lax.broadcasted_iota(jnp.int32, tc.shape, 1)
         row_i = jnp.min(jnp.where(tc == row_t, lane, _I32_MAX),
                         axis=1, keepdims=True)
         better = row_t < best_t
+        li = jnp.where(row_i[:, 0] == _I32_MAX, 0, row_i[:, 0])
+        uv_j = jnp.stack([u[rows, li], v[rows, li]], axis=-1)
+        best_uv = jnp.where(better, uv_j, best_uv)
         best_fid = jnp.where(better, j * tf + row_i, best_fid)
         best_t = jnp.where(better, row_t, best_t)
-        return (best_t, best_fid), None
+        return (best_t, best_fid, best_uv), None
 
     init = (jnp.full((n, 1), REAL_MAX, jnp.float32),
-            jnp.full((n, 1), -1, jnp.int32))
-    (best_t, best_fid), _ = lax.scan(
+            jnp.full((n, 1), -1, jnp.int32),
+            jnp.zeros((n, 2), jnp.float32))
+    (best_t, best_fid, best_uv), _ = lax.scan(
         body, init, (planes.transpose(2, 0, 1, 3),
                      jnp.arange(n_tiles, dtype=jnp.int32)))
-    return best_t[:, 0], best_fid[:, 0]
+    return best_t[:, 0], best_fid[:, 0], best_uv
 
 
 def _use_pallas() -> bool:
@@ -408,15 +438,15 @@ def _use_pallas() -> bool:
 
 
 def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
-                      with_uv: bool = False, mask=None):
+                      with_uv: bool = True, mask=None):
     """Closest hit against all triangles. origins/dirs: [N, 3].
 
-    Returns (fid [N] i32 (-1 = miss), t [N] f32, uv [N, 2] f32). By
-    default uv is zeros: the integrator re-derives t/uv differentiably
-    from the winning face id anyway (render/integrator.py hit_query),
-    and the winner-gather this saves is a measurable fraction of a
-    bounce on TPU. Pass with_uv=True for the full contract (tests,
-    standalone use).
+    Returns (fid [N] i32 (-1 = miss), t [N] f32, uv [N, 2] f32). The
+    winner's (t, u, v) come straight from the kernel's lane-local
+    running best (two extra selects per pair when with_uv) -- the
+    integrator consumes them as primal hit data and routes gradients
+    through a custom-vjp Moller-Trumbore recompute that only runs in
+    the backward pass (render/integrator._hit_surface).
 
     mask ([N] bool, optional) is SEMANTICS ONLY: lanes with mask=False
     report miss. All lanes run through the kernel regardless -- the
@@ -432,45 +462,24 @@ def closest_hit_dense(origins, dirs, woop: WoopTris, tile_rays: int = TILE_RAYS,
     use_pallas = impl == "interpret" or (impl != "xla" and _use_pallas())
     gated = woop.n_padded >= _GATE_MIN_FACES
     if use_pallas:
-        t, fid = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
-                               woop.sp_boxes,
-                               tile_rays=tile_rays, gated=gated,
-                               interpret=impl == "interpret")
+        t, fid, uv = _dense_pallas(rays, woop.wx, woop.wy, woop.wz,
+                                   woop.sp_boxes,
+                                   tile_rays=tile_rays, gated=gated,
+                                   with_uv=with_uv,
+                                   interpret=impl == "interpret")
     else:
-        t, fid = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
+        t, fid, uv = _dense_xla(rays, woop.wx, woop.wy, woop.wz)
     fid = jnp.where(fid >= woop.n_faces, -1, fid)   # padding can't win, but be safe
     if mask is not None:
         fid = jnp.where(mask, fid, -1)
     t = jnp.where(fid < 0, REAL_MAX, t)
-    if with_uv:
-        # uv needs the morton-space fid (woop planes are morton-ordered)
-        uv = _winner_uv(origins, dirs, woop, fid)
-        return _to_original_fid(woop, fid), t, uv
-    return (_to_original_fid(woop, fid), t,
-            jnp.zeros((n, 2), jnp.float32))
+    if not with_uv:
+        uv = jnp.zeros((n, 2), jnp.float32)
+    else:
+        uv = jnp.where((fid >= 0)[:, None], uv, 0.0)
+    return _to_original_fid(woop, fid), t, uv
 
 
 def _to_original_fid(woop: WoopTris, fid):
     """Map morton-slot hit ids back to original face ids (miss stays -1)."""
     return jnp.where(fid >= 0, woop.perm[jnp.maximum(fid, 0)], fid)
-
-
-def _winner_uv(origins, dirs, woop: WoopTris, fid):
-    fid_s = jnp.maximum(fid, 0)
-    wx = woop.wx[:, fid_s].T                       # [N, 4]
-    wy = woop.wy[:, fid_s].T
-    wz = woop.wz[:, fid_s].T
-    o4 = jnp.concatenate([origins, jnp.ones((origins.shape[0], 1),
-                                            origins.dtype)], axis=1)
-    opx = jnp.sum(o4 * wx, axis=1)
-    opy = jnp.sum(o4 * wy, axis=1)
-    opz = jnp.sum(o4 * wz, axis=1)
-    dpx = jnp.sum(dirs * wx[:, :3], axis=1)
-    dpy = jnp.sum(dirs * wy[:, :3], axis=1)
-    dpz = jnp.sum(dirs * wz[:, :3], axis=1)
-    t = -opz / dpz
-    u = opx + t * dpx
-    v = opy + t * dpy
-    safe = fid >= 0
-    return jnp.where(safe[:, None],
-                     jnp.stack([u, v], axis=-1), 0.0).astype(jnp.float32)

@@ -56,7 +56,7 @@ def render_aov(scene: FlatScene, cfg: RenderConfig, key, kind: str):
     o, d = raygen.camera_rays_u(u_cam, scene.cam_to_world, scene.cam_yfov,
                                 scene.cam_aspect, lane_pix % w,
                                 lane_pix // w, w, h)
-    fid, t, _uv = closest_hit(o, d)
+    fid, t, uv = closest_hit(o, d)
     hit = fid >= 0
 
     if kind == "hitmask":
@@ -65,17 +65,18 @@ def render_aov(scene: FlatScene, cfg: RenderConfig, key, kind: str):
         val = (jnp.where(hit, 1.0 / (1.0 + t), 0.0)[:, None]
                * jnp.ones((1, 3)))
     else:  # normal
-        from tinypathtracer_tpu.ops.traverse import _ray_tri_single
+        from tinypathtracer_tpu.ops import shading_c
+        from tinypathtracer_tpu.render.integrator import fetch_cols
 
-        pack = data.face_pack[jnp.maximum(fid, 0)]
-        _t, u_, v_, _ok = _ray_tri_single(
-            o, d, pack[:, 15:18], pack[:, 18:21], pack[:, 21:24])
+        packT = fetch_cols(data.shade_packT, jnp.maximum(fid, 0))
+        u_, v_ = uv[:, 0], uv[:, 1]
         w_ = 1.0 - u_ - v_
-        nrm = (w_[:, None] * pack[:, 0:3]
-               + u_[:, None] * pack[:, 3:6]
-               + v_[:, None] * pack[:, 6:9])
-        nrm = vnormalize(nrm, eps=1e-20)
-        val = jnp.where(hit[:, None], jnp.abs(nrm), 0.0)
+        nx = (w_ * packT[0] + u_ * packT[3]) + v_ * packT[6]
+        ny = (w_ * packT[1] + u_ * packT[4]) + v_ * packT[7]
+        nz = (w_ * packT[2] + u_ * packT[5]) + v_ * packT[8]
+        nx, ny, nz = shading_c.normalize_c(nx, ny, nz, eps=1e-20)
+        val = jnp.where(hit[:, None],
+                        jnp.abs(jnp.stack([nx, ny, nz], axis=1)), 0.0)
 
     img = val.reshape(w * h, spp, 3).mean(axis=1)
     return img.reshape(h, w, 3)

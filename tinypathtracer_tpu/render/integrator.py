@@ -48,7 +48,10 @@ from tinypathtracer_tpu.models.envlight import (
     EnvSamplingTables, build_env_tables, env_lookup, sample_env_u)
 from tinypathtracer_tpu.models.scene import FlatScene
 from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
-from tinypathtracer_tpu.ops.sampling import PI, fold_all, lane_uniform
+from tinypathtracer_tpu.ops import shading_c
+from tinypathtracer_tpu.ops.sampling import (PI, fold_all,
+                                             hemisphere_cosine_u,
+                                             lane_uniform)
 from tinypathtracer_tpu.ops.traverse import _ray_tri_single
 from tinypathtracer_tpu.utils.math3d import vdot, vnormalize
 
@@ -85,22 +88,38 @@ class TraceData:
     env_marginal_cdf: jnp.ndarray
     env_conditional_cdf: jnp.ndarray
     env_pdf: jnp.ndarray
-    # Fused per-face shading table [F, 30]: corner normals (9), base
-    # color (3), emission (1), eta (1), metallic (1), triangle
-    # vertices (9), corner texcoords (6). One row gather per bounce
-    # replaces ~14 separate gathers (two-level for normals) -- on TPU
-    # the bounce glue between intersection kernels is gather-bound, so
-    # packing is a direct wall-clock win. Gradients flow through the
-    # pack gather to vertices/normals/materials exactly as they did
-    # through the individual gathers.
-    face_pack: jnp.ndarray
+    # Fused per-face shading table [F, 15] (+6 texcoord cols when the
+    # scene is textured): corner normals (9), base color (3), emission
+    # (1), eta (1), metallic (1) [, corner texcoords (6)]. One row
+    # fetch per bounce replaces ~12 separate gathers. Row fetches go
+    # through `fetch_rows` (an EXACT one-hot matmul on the MXU for
+    # small tables: measured ~5 ms vs ~25 ms for a materialized XLA
+    # gather of this width at 1M rays -- gathers here run at only
+    # ~1 G elem/s). Triangle VERTICES are deliberately NOT in the pack:
+    # the primal consumes the intersector's own (t, u, v) and the
+    # Moller-Trumbore recompute (which needs the verts) runs only in
+    # the backward pass (_hit_surface), so the 9-wide vert fetch is
+    # grad-time-only.
+    # TRANSPOSED [S, F]: the bounce loop is component-form (see
+    # ops/shading_c.py -- [N]->[N,3] broadcasts relayout at ~1 G elem/s
+    # on this backend), so the per-bounce fetch produces [S, N] and
+    # component rows slice out for free on the sublane axis.
+    shade_packT: jnp.ndarray
     face_emission: jnp.ndarray   # [F] emission only, for cheap lookups
+    # flattened env channels [H*W] (component-form miss shading)
+    env_r: jnp.ndarray
+    env_g: jnp.ndarray
+    env_b: jnp.ndarray
     # base-color texturing (completes the reference's TODO at
     # mesh.cu:155 / mesh.cuh:114): per-face atlas layer (-1 = none) and
     # the atlas itself ([1,1,1,3] sentinel = scene has no textures; the
     # integrator then skips texture work at trace time)
     face_tex: jnp.ndarray        # [F] i32
     tex_atlas: jnp.ndarray       # [T, Ht, Wt, 3] f32
+    # flattened atlas channels [T*Ht*Wt] (component-form texel fetch)
+    atlas_r: jnp.ndarray
+    atlas_g: jnp.ndarray
+    atlas_b: jnp.ndarray
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "TraceData":
@@ -110,15 +129,17 @@ class TraceData:
         corner_n = wn[scene.indices]                       # [F, 3, 3]
         f = scene.indices.shape[0]
         face_emission = scene.mtl_emission[scene.face_mtl]
-        face_pack = jnp.concatenate([
+        cols = [
             corner_n.reshape(f, 9),
             scene.mtl_base_color[scene.face_mtl],
             face_emission[:, None],
             scene.mtl_eta[scene.face_mtl][:, None],
             scene.mtl_metallic[scene.face_mtl][:, None],
-            tri_verts.reshape(f, 9),
-            scene.texcoords[scene.indices].reshape(f, 6),
-        ], axis=1)
+        ]
+        if scene.has_textures:
+            cols.append(scene.texcoords[scene.indices].reshape(f, 6))
+        shade_packT = jnp.concatenate(cols, axis=1).T
+        env_flat = scene.env_radiance.reshape(-1, 3)
         return TraceData(
             tri_verts=tri_verts,
             world_normals=wn,
@@ -139,11 +160,87 @@ class TraceData:
             env_marginal_cdf=tables.marginal_cdf,
             env_conditional_cdf=tables.conditional_cdf,
             env_pdf=tables.pdf,
-            face_pack=face_pack,
+            shade_packT=shade_packT,
             face_emission=face_emission,
+            env_r=env_flat[:, 0], env_g=env_flat[:, 1], env_b=env_flat[:, 2],
             face_tex=scene.mtl_tex_id[scene.face_mtl],
             tex_atlas=scene.tex_atlas,
+            atlas_r=scene.tex_atlas[..., 0].reshape(-1),
+            atlas_g=scene.tex_atlas[..., 1].reshape(-1),
+            atlas_b=scene.tex_atlas[..., 2].reshape(-1),
         )
+
+
+def fetch_rows(table, idx):
+    """EXACT row fetch table[idx] for small tables, on the MXU.
+
+    XLA's materialized gather runs at ~1 G elem/s on this backend (a
+    [1M, 15] fetch is ~15 ms); a one-hot matmul in HIGHEST precision
+    (bf16x6 passes, exact for f32 because the one-hot side is exactly
+    representable) does the same fetch in ~4-5 ms and its transpose is
+    the gradient. Falls back to the plain gather for tables too large
+    to one-hot against (one-hot cost scales with F).
+    """
+    f = table.shape[0]
+    if f > 8192:
+        return table[idx]
+    oh = (idx[:, None] == jnp.arange(f, dtype=idx.dtype)[None, :]).astype(
+        table.dtype)
+    return jnp.dot(oh, table, precision=lax.Precision.HIGHEST)
+
+
+def fetch_cols(tableT, idx):
+    """fetch_rows for a TRANSPOSED table: [S, F][:, idx] -> [S, N].
+
+    Component rows of the result are free sublane slices (the bounce
+    loop is component-form; a [N, S] result would pay a lane-relayout
+    per column read).
+    """
+    f = tableT.shape[1]
+    if f > 8192:
+        return tableT[:, idx]
+    oh = (jnp.arange(f, dtype=idx.dtype)[:, None] == idx[None, :]).astype(
+        tableT.dtype)
+    return jnp.dot(tableT, oh, precision=lax.Precision.HIGHEST)
+
+
+@jax.custom_vjp
+def _hit_surface(o, d, tri_verts, fid, t_k, u_k, v_k):
+    """Forward the intersector's own (t, u, v) as primal hit data;
+    route gradients through a Moller-Trumbore recompute that runs ONLY
+    in the backward pass (path-replay convention: the hit id is
+    non-differentiable, the surface point is). This removes the 9-wide
+    vertex fetch and the MT arithmetic from the primal bounce -- they
+    were the largest glue cost in the round-3 profile."""
+    return t_k, u_k, v_k
+
+
+def _hit_surface_fwd(o, d, tri_verts, fid, t_k, u_k, v_k):
+    return (t_k, u_k, v_k), (o, d, tri_verts, fid)
+
+
+def _hit_surface_bwd(res, cts):
+    o, d, tri_verts, fid = res
+    tv = tri_verts[jnp.maximum(fid, 0)]
+    live = (fid >= 0)
+
+    def f(o_, d_, tv_):
+        t, u, v, _ok = _ray_tri_single(o_, d_, tv_[:, 0], tv_[:, 1],
+                                       tv_[:, 2])
+        return t, u, v
+
+    _, vjp = jax.vjp(f, o, d, tv)
+    # zero the cotangents of miss lanes BEFORE the vjp touches the
+    # degenerate recompute (t against face 0 is garbage there)
+    cts = tuple(jnp.where(live, c, 0.0) for c in cts)
+    go, gd, gtv = vjp(cts)
+    gtv_full = jnp.zeros_like(tri_verts).at[jnp.maximum(fid, 0)].add(
+        jnp.where(live[:, None, None], gtv, 0.0))
+    zero = jnp.zeros_like(cts[0])
+    return (go, gd, gtv_full, None, zero, zero, zero)
+
+
+_hit_surface.defvjp(_hit_surface_fwd, _hit_surface_bwd)
 
 
 def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
@@ -188,60 +285,71 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     n = origins.shape[0]
 
     def hit_query(o, d, mask):
-        """Closest hit with the discrete part detached from autodiff.
-
-        The winning face id comes from the (non-differentiable,
-        possibly while_loop-based) traversal backend under
-        stop_gradient; t and the barycentrics are then recomputed
-        differentiably against that one triangle, so gradients flow to
-        vertices/camera while the combinatorial visibility decision is
-        treated as constant -- the path-replay convention (hit ids are
-        non-differentiable, shading is; SURVEY.md par. 7 hard part 2).
-        The recomputation is the same Moller-Trumbore arithmetic the
-        backends use, so primal values are bit-identical.
-        """
-        fid, _t, _uv = jax.tree_util.tree_map(
+        """Closest hit with the discrete traversal fully detached from
+        autodiff: backends may be while_loop-based and must never see
+        tangents. Returns the backend's (fid, t, uv) under
+        stop_gradient; differentiability of the surface point is
+        restored by _hit_surface (custom-vjp MT recompute in the
+        backward pass only -- path-replay convention, SURVEY.md par. 7
+        hard part 2)."""
+        return jax.tree_util.tree_map(
             lax.stop_gradient, closest_hit(lax.stop_gradient(o),
                                            lax.stop_gradient(d),
                                            mask=mask))
-        return fid
 
+    # The bounce loop is COMPONENT-FORM: every per-lane quantity is a
+    # plain [N] array (vectors as three components). [N] -> [N, 3]
+    # broadcasts relayout at ~1 G elem/s on this backend (one
+    # hemisphere sample measured 53 ms/bounce at 1M rays); in component
+    # form the same math is <2 ms. See ops/shading_c.py.
     def bounce(state, depth):
-        o, d, thr, rad, alive, prev_spec = state
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+         alive, prev_spec) = state
         # One [N, 6] uniform block per bounce from per-lane keys:
         # cols 0-1 BSDF hemisphere, 2 BSDF Fresnel coin; in reference
         # mode cols 3-4 are the extra direct-sample hemisphere and 5 its
         # coin; in physical mode cols 3-4 drive env NEE and 5 RR.
         u = lane_uniform(fold_all(lane_keys, depth), 6)
 
-        fid = hit_query(o, d, alive)
+        o3 = jnp.stack([ox, oy, oz], axis=1)
+        d3 = jnp.stack([dx, dy, dz], axis=1)
+        fid, t_k, uv_k = hit_query(o3, d3, alive)
         miss = fid < 0
 
         # Terminal: environment on miss (path_tracer.cu:358-362). In
         # physical mode, diffuse bounces already account for the dome
         # via env NEE below, so only camera/specular paths collect it
         # here (prev_spec starts True).
-        env = env_lookup(data.env_radiance, d) * cfg.env_scale
+        eh, ew = data.env_radiance.shape[0], data.env_radiance.shape[1]
+        etex = shading_c.env_texel_c(eh, ew, dx, dy, dz)
         count_env = (alive & miss) if cfg.mode == "reference" \
             else (alive & miss & prev_spec)
-        rad = rad + jnp.where(count_env[:, None], thr * env, 0.0)
+        er = jnp.where(count_env, data.env_r[etex] * cfg.env_scale, 0.0)
+        eg = jnp.where(count_env, data.env_g[etex] * cfg.env_scale, 0.0)
+        eb = jnp.where(count_env, data.env_b[etex] * cfg.env_scale, 0.0)
+        rr = rr + tr * er
+        rg = rg + tg * eg
+        rb = rb + tb * eb
 
-        # One fused row gather, then the differentiable t/uv recompute
-        # against the winning triangle (see hit_query docstring).
-        pack = data.face_pack[jnp.maximum(fid, 0)]          # [N, 24]
-        t, u_, v_, _ok = _ray_tri_single(
-            o, d, pack[:, 15:18], pack[:, 18:21], pack[:, 21:24])
+        # Primal (t, u, v) from the intersector itself; gradients via
+        # the backward-only MT recompute. Keep miss lanes finite.
+        t_k = jnp.where(miss, 1.0, t_k)
+        t, u_, v_ = _hit_surface(o3, d3, data.tri_verts, fid,
+                                 t_k, uv_k[:, 0], uv_k[:, 1])
         w_ = 1.0 - u_ - v_
-        nrm = (w_[:, None] * pack[:, 0:3]
-               + u_[:, None] * pack[:, 3:6]
-               + v_[:, None] * pack[:, 6:9])
-        nrm = vnormalize(nrm, eps=1e-20)  # eps: degenerate interpolated normals
-        hit_pos = o + t[:, None] * d
+        packT = fetch_cols(data.shade_packT, jnp.maximum(fid, 0))  # [S, N]
+        nx = (w_ * packT[0] + u_ * packT[3]) + v_ * packT[6]
+        ny = (w_ * packT[1] + u_ * packT[4]) + v_ * packT[7]
+        nz = (w_ * packT[2] + u_ * packT[5]) + v_ * packT[8]
+        nx, ny, nz = shading_c.normalize_c(nx, ny, nz, eps=1e-20)
+        hx = ox + t * dx
+        hy = oy + t * dy
+        hz = oz + t * dz
 
-        base_color = pack[:, 9:12]
-        emission = pack[:, 12]
-        eta = pack[:, 13]
-        metallic = pack[:, 14]
+        br, bg_, bb = packT[9], packT[10], packT[11]
+        emission = packT[12]
+        eta = packT[13]
+        metallic = packT[14]
 
         # Base-color texture modulation (shape-static skip for
         # untextured scenes). Point-sampled with wrap addressing,
@@ -251,55 +359,83 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         if (data.tex_atlas.shape[0] > 1 or data.tex_atlas.shape[1] > 1
                 or data.tex_atlas.shape[2] > 1):
             th, tw = data.tex_atlas.shape[1], data.tex_atlas.shape[2]
-            uv_t = (w_[:, None] * pack[:, 24:26]
-                    + u_[:, None] * pack[:, 26:28]
-                    + v_[:, None] * pack[:, 28:30])
-            uv_t = lax.stop_gradient(uv_t)   # texel choice is discrete
+            ut = lax.stop_gradient(
+                (w_ * packT[15] + u_ * packT[17]) + v_ * packT[19])
+            vt = lax.stop_gradient(
+                (w_ * packT[16] + u_ * packT[18]) + v_ * packT[20])
             tid = data.face_tex[jnp.maximum(fid, 0)]
-            tx = jnp.clip((jnp.mod(uv_t[:, 0], 1.0) * tw).astype(jnp.int32),
+            tx = jnp.clip((jnp.mod(ut, 1.0) * tw).astype(jnp.int32),
                           0, tw - 1)
-            ty = jnp.clip((jnp.mod(uv_t[:, 1], 1.0) * th).astype(jnp.int32),
+            ty = jnp.clip((jnp.mod(vt, 1.0) * th).astype(jnp.int32),
                           0, th - 1)
-            texel = data.tex_atlas[jnp.maximum(tid, 0), ty, tx]
-            base_color = base_color * jnp.where((tid >= 0)[:, None],
-                                                texel, 1.0)
+            flat_idx = (jnp.maximum(tid, 0) * (th * tw) + ty * tw + tx)
+            textured = tid >= 0
+            br = br * jnp.where(textured, data.atlas_r[flat_idx], 1.0)
+            bg_ = bg_ * jnp.where(textured, data.atlas_g[flat_idx], 1.0)
+            bb = bb * jnp.where(textured, data.atlas_b[flat_idx], 1.0)
 
         # Terminal: emissive hit contributes the raw scalar emission
         # (path_tracer.cu:408-412, 421-423)
         emissive = emission > 0.0
-        rad = rad + jnp.where((alive & ~miss & emissive)[:, None],
-                              thr * emission[:, None], 0.0)
+        hit_em = jnp.where(alive & ~miss & emissive, emission, 0.0)
+        rr = rr + tr * hit_em
+        rg = rg + tg * hit_em
+        rb = rb + tb * hit_em
 
         live = alive & ~miss & ~emissive
 
         # BSDF bounce: weight = baseColor * atten/p (path_tracer.cu:379-380)
-        next_dir, weight, is_spec = bsdf.sample_bsdf_u(
-            u[:, 0], u[:, 1], u[:, 2], d, nrm, eta, metallic, base_color)
+        ndx, ndy, ndz, ratio, is_spec = shading_c.sample_bsdf_c(
+            u[:, 0], u[:, 1], u[:, 2], dx, dy, dz, nx, ny, nz,
+            eta, metallic)
+        wr, wg, wb = br * ratio, bg_ * ratio, bb * ratio
 
         if cfg.mode == "reference":
-            # Delta-light NEE (quirk: no cos / BRDF weighting)
-            direct = _direct_light(data, cfg, hit_pos, base_color,
-                                   closest_hit, live)
             # Extra direct-emitter sample for non-specular materials
             # (path_tracer.cu:387-401): a second BSDF draw; if it hits
             # anything, add that material's scalar emissionFactor.
+            # do_extra lanes are exactly the diffuse-lobe lanes, so the
+            # draw is the cosine hemisphere directly (bit-identical to
+            # the full BSDF sample on those lanes, half the work).
             do_extra = ~((eta >= 1.0) | (metallic > 0.0))
-            dir2, _w2, _s2 = bsdf.sample_bsdf_u(
-                u[:, 3], u[:, 4], u[:, 5], d, nrm, eta, metallic, base_color)
-            fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(hit_pos),
-                                          lax.stop_gradient(dir2),
+            sgn = jnp.where(
+                shading_c.dot_c(dx, dy, dz, nx, ny, nz) > 0.0, -1.0, 1.0)
+            d2x, d2y, d2z, _pdf2 = shading_c.hemisphere_cosine_c(
+                u[:, 3], u[:, 4], nx * sgn, ny * sgn, nz * sgn)
+            h3 = jnp.stack([hx, hy, hz], axis=1)
+            d23 = jnp.stack([d2x, d2y, d2z], axis=1)
+            fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(h3),
+                                          lax.stop_gradient(d23),
                                           mask=live & do_extra)
             em2 = data.face_emission[jnp.maximum(fid2, 0)]
-            em2 = jnp.where(fid2 >= 0, em2, 0.0)
-            direct = direct + jnp.where(do_extra, em2, 0.0)[:, None]
+            em2 = jnp.where((fid2 >= 0) & do_extra, em2, 0.0)
+            dr = dg = db = em2
+            # Delta-light NEE (quirk: no cos / BRDF weighting)
+            if data.light_kind.shape[0] > 0:
+                b3 = jnp.stack([br, bg_, bb], axis=1)
+                direct3 = _direct_light(data, cfg, h3, b3, closest_hit,
+                                        live)
+                dr = dr + direct3[:, 0]
+                dg = dg + direct3[:, 1]
+                db = db + direct3[:, 2]
             # direct_d enters weighted by prod_{k<=d} a_k = thr * weight
             # (the estimator folds this bounce's BSDF into the direct
             # term -- an exact transcription of path_tracer.cu:427)
-            rad = rad + jnp.where(live[:, None], thr * weight * direct, 0.0)
+            lv = live
+            rr = rr + jnp.where(lv, tr * wr * dr, 0.0)
+            rg = rg + jnp.where(lv, tg * wg * dg, 0.0)
+            rb = rb + jnp.where(lv, tb * wb * db, 0.0)
         else:
             # Physical NEE on diffuse lanes: f = albedo/pi, weighted by
-            # cos(theta); specular lanes skip NEE (delta BSDF).
-            n_side = nrm * jnp.where(vdot(d, nrm) > 0.0, -1.0, 1.0)[:, None]
+            # cos(theta); specular lanes skip NEE (delta BSDF). This
+            # branch keeps the readable [N, 3] formulation (it is the
+            # correctness-mode path, not the benched one).
+            sgn = jnp.where(
+                shading_c.dot_c(dx, dy, dz, nx, ny, nz) > 0.0, -1.0, 1.0)
+            n_side = jnp.stack([nx * sgn, ny * sgn, nz * sgn], axis=1)
+            hit_pos = jnp.stack([hx, hy, hz], axis=1)
+            base_color = jnp.stack([br, bg_, bb], axis=1)
+            thr3 = jnp.stack([tr, tg, tb], axis=1)
             f_diff = base_color / PI
             diffuse = live & ~is_spec
             direct = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -332,33 +468,46 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             w_env = jnp.where(pdf_e > 0.0, cos_e / jnp.maximum(pdf_e, 1e-12), 0.0)
             direct = direct + jnp.where((efid < 0)[:, None],
                                         f_diff * w_env[:, None] * env_e, 0.0)
-            rad = rad + jnp.where(diffuse[:, None], thr * direct, 0.0)
+            drad = jnp.where(diffuse[:, None], thr3 * direct, 0.0)
+            rr = rr + drad[:, 0]
+            rg = rg + drad[:, 1]
+            rb = rb + drad[:, 2]
 
-        thr = jnp.where(live[:, None], thr * weight, thr)
-        o = jnp.where(live[:, None], hit_pos, o)
-        d = jnp.where(live[:, None], next_dir, d)
+        tr = jnp.where(live, tr * wr, tr)
+        tg = jnp.where(live, tg * wg, tg)
+        tb = jnp.where(live, tb * wb, tb)
+        ox = jnp.where(live, hx, ox)
+        oy = jnp.where(live, hy, oy)
+        oz = jnp.where(live, hz, oz)
+        dx = jnp.where(live, ndx, dx)
+        dy = jnp.where(live, ndy, dy)
+        dz = jnp.where(live, ndz, dz)
         prev_spec = jnp.where(live, is_spec, prev_spec)
 
         # Russian roulette (physical mode only; not part of the
         # reference estimator)
         if cfg.mode == "physical" and cfg.russian_roulette:
-            p_sur = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            p_sur = jnp.clip(jnp.maximum(jnp.maximum(tr, tg), tb), 0.05, 1.0)
             late = depth >= 3
             u_rr = u[:, 5]
             kill = live & late & (u_rr >= p_sur)
-            thr = jnp.where((live & late)[:, None], thr / p_sur[:, None], thr)
+            scale = jnp.where(live & late, 1.0 / p_sur, 1.0)
+            tr, tg, tb = tr * scale, tg * scale, tb * scale
             live = live & ~kill
 
-        return (o, d, thr, rad, live, prev_spec), None
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                live, prev_spec), None
 
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
     init = (
-        origins,
-        dirs,
-        jnp.ones((n, 3), dtype=jnp.float32),
-        jnp.zeros((n, 3), dtype=jnp.float32),
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        dirs[:, 0], dirs[:, 1], dirs[:, 2],
+        ones, ones, ones,
+        zeros, zeros, zeros,
         jnp.ones((n,), dtype=bool),
         jnp.ones((n,), dtype=bool),   # prev_spec: camera rays see the env
     )
-    (_, _, _, rad, _, _), _ = lax.scan(
-        bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.int32))
-    return rad
+    out, _ = lax.scan(bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    rr, rg, rb = out[9], out[10], out[11]
+    return jnp.stack([rr, rg, rb], axis=1)

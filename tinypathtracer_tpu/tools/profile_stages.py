@@ -1,9 +1,22 @@
 """Per-stage wall-clock breakdown of one bench frame on the live backend.
 
-Round-1/2 verdicts asked for committed profiling evidence; this script
-is the durable home for it. It times each component of the hot path in
-isolation (all jitted, best-of-k, block_until_ready) and prints a JSON
-breakdown plus a human table. Results are pasted into BASELINE.md.
+Round-1/2 verdicts asked for committed profiling evidence; this is its
+durable home. Methodology (see also tools/kernel_lab.py): the axon
+remote backend's `block_until_ready` can return before execution
+finishes, so every timing fetches a scalar to the host; multi-dispatch
+stages run inside one jitted `lax.scan` with per-iteration input
+perturbation (defeats CSE/hoisting) and subtract the measured RPC
+readback overhead.
+
+Stages:
+  frame        the full Renderer frame (what bench.py measures)
+  intersect    scan of the same number of dense-kernel dispatches the
+               frame issues (2 per bounce: main + extra-direct)
+  glue         the full bounce loop with the intersection stubbed out
+               (raygen + RNG + gathers + shading + carries)
+
+frame ~= intersect + glue + chunking overhead; the residual is
+reported. Results are pasted into BASELINE.md per round.
 
 Usage:  python -m tinypathtracer_tpu.tools.profile_stages
 Env:    PROF_WIDTH/HEIGHT/SPP/DEPTH  (default 512x512@16, d8)
@@ -17,28 +30,34 @@ import os
 import time
 
 
-def _best_of(fn, *args, k=3, **kw):
-    out = fn(*args, **kw)          # compile + warmup
-    import jax
-    jax.block_until_ready(out)
+def _timed(fn, *args, k=3):
+    float(fn(*args))
     best = float("inf")
     for _ in range(k):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kw))
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from tinypathtracer_tpu import RenderConfig, Renderer, load_scene
     from tinypathtracer_tpu.models.envlight import gradient_sky
-    from tinypathtracer_tpu.ops.dense import closest_hit_dense, precompute_woop
+    from tinypathtracer_tpu.render import raygen
+    from tinypathtracer_tpu.render.integrator import trace_paths
+    from tinypathtracer_tpu.render.renderer import _CAM_TAG, _hit_fn, prepare_state
     from tinypathtracer_tpu.ops.sampling import fold_all, fold_lanes, lane_uniform
-    from tinypathtracer_tpu.render.renderer import prepare_state
 
     w = int(os.environ.get("PROF_WIDTH", 512))
     h = int(os.environ.get("PROF_HEIGHT", 512))
@@ -55,101 +74,75 @@ def main():
     res = {"config": f"{w}x{h}@{spp}spp d{depth}", "n_rays": n_rays,
            "chunk": chunk, "backend": jax.default_backend()}
 
-    # --- full frame -------------------------------------------------------
+    @jax.jit
+    def _null(x):
+        return x.sum()
+
+    probe = jnp.zeros((8,), jnp.float32)
+    overhead = _timed(_null, probe)
+    res["rpc_overhead_ms"] = overhead * 1e3
+
+    # --- full frame --------------------------------------------------
     r = Renderer(cfg)
-    key = jax.random.PRNGKey(0)
-    t_frame = _best_of(lambda k2: r._fn(flat, key=k2,
-                                        prebuilt_bvh=None), key)
+    frame = jax.jit(lambda s, k2: r._fn(s, key=k2, prebuilt_bvh=None).sum())
+    t_frame = _timed(frame, flat, jax.random.PRNGKey(1)) - overhead
     res["frame_s"] = t_frame
     res["rays_per_s"] = n_rays / t_frame
 
-    # --- intersection kernel alone (per bounce there are 2 dispatches in
-    # reference mode: main hit + extra direct ray) --------------------------
+    # --- intersection kernel: the frame's dispatch count ------------
     state = jax.jit(lambda s: prepare_state(s, cfg))(flat)
-    woop = state.bvh
-    o = jnp.zeros((chunk, 3), jnp.float32) + jnp.array([278.0, 278.0, -500.0])
-    kdir = jax.random.normal(jax.random.PRNGKey(1), (chunk, 3))
-    d = kdir / jnp.linalg.norm(kdir, axis=1, keepdims=True)
+    closest_hit = _hit_fn(state, cfg)
+    o0 = jax.random.uniform(jax.random.PRNGKey(2), (chunk, 3)) * 2.0
+    d0 = jax.random.normal(jax.random.PRNGKey(3), (chunk, 3))
+    d0 = d0 / jnp.linalg.norm(d0, axis=1, keepdims=True)
+    dispatches = 2 * depth  # per chunk: main + extra-direct per bounce
 
-    hit = jax.jit(lambda o_, d_: closest_hit_dense(o_, d_, woop))
-    t_hit1 = _best_of(hit, o, d)
-    res["intersect_1dispatch_s"] = t_hit1
-    dispatches = 2 * depth * n_chunks
-    res["intersect_frame_est_s"] = t_hit1 * dispatches
-    res["intersect_dispatches"] = dispatches
+    @jax.jit
+    def hits(o, d):
+        def body(c, i):
+            fid, t, _ = closest_hit(o + i.astype(jnp.float32) * 1e-9, d)
+            return c + t.sum() + fid.sum().astype(jnp.float32), None
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(dispatches))
+        return c
 
-    mask = jnp.ones((chunk,), bool)
-    hit_m = jax.jit(lambda o_, d_, m_: closest_hit_dense(o_, d_, woop, mask=m_))
-    res["intersect_masked_1dispatch_s"] = _best_of(hit_m, o, d, mask)
+    t_hits = _timed(hits, o0, d0) - overhead
+    res["intersect_frame_s"] = t_hits * n_chunks
+    res["intersect_ms_per_dispatch"] = t_hits / dispatches * 1e3
 
-    # --- RNG glue: per-lane key folds + uniforms, as the renderer does ----
-    pix = jnp.arange(chunk, dtype=jnp.int32) % (w * h)
+    # --- glue: full bounce loop with a stub intersector --------------
+    data = state.data
+
+    def stub_hit(o, d, mask=None):
+        m = o.shape[0]
+        fid = jnp.arange(m, dtype=jnp.int32) % data.tri_verts.shape[0]
+        if mask is not None:
+            fid = jnp.where(mask, fid, -1)
+        return fid, jnp.ones((m,), jnp.float32), jnp.zeros((m, 2), jnp.float32)
+
+    pix = jnp.arange(chunk, dtype=jnp.int32) // spp % (w * h)
     samp = jnp.arange(chunk, dtype=jnp.int32) % spp
 
     @jax.jit
-    def rng_frame(k2):
+    def glue(k2):
         keys = fold_lanes(k2, pix)
         keys = jax.vmap(jax.random.fold_in)(keys, samp)
-        tot = lane_uniform(fold_all(keys, 0x00CA0CA1), 2).sum()
-        for dd in range(depth):
-            tot += lane_uniform(fold_all(keys, dd), 6).sum()
-        return tot
-
-    t_rng = _best_of(rng_frame, key)
-    res["rng_glue_frame_est_s"] = t_rng * n_chunks
-
-    # --- shading glue: one bounce minus the intersection dispatches -------
-    data = state.data
-    from tinypathtracer_tpu.ops import bsdf
-
-    fid = jnp.zeros((chunk,), jnp.int32)
-
-    @jax.jit
-    def shade_once(o_, d_, u):
-        from tinypathtracer_tpu.ops.traverse import _ray_tri_single
-        from tinypathtracer_tpu.utils.math3d import vnormalize
-        pack = data.face_pack[jnp.maximum(fid, 0)]
-        t, u_, v_, _ok = _ray_tri_single(o_, d_, pack[:, 15:18],
-                                         pack[:, 18:21], pack[:, 21:24])
-        w_ = 1.0 - u_ - v_
-        nrm = (w_[:, None] * pack[:, 0:3] + u_[:, None] * pack[:, 3:6]
-               + v_[:, None] * pack[:, 6:9])
-        nrm = vnormalize(nrm, eps=1e-20)
-        nd, wt, sp = bsdf.sample_bsdf_u(u[:, 0], u[:, 1], u[:, 2], d_, nrm,
-                                        pack[:, 13], pack[:, 14], pack[:, 9:12])
-        nd2, _, _ = bsdf.sample_bsdf_u(u[:, 3], u[:, 4], u[:, 5], d_, nrm,
-                                       pack[:, 13], pack[:, 14], pack[:, 9:12])
-        return nd.sum() + wt.sum() + nd2.sum() + t.sum()
-
-    u6 = jax.random.uniform(key, (chunk, 6))
-    t_shade = _best_of(shade_once, o, d, u6)
-    res["shade_glue_1bounce_s"] = t_shade
-    res["shade_glue_frame_est_s"] = t_shade * depth * n_chunks
-
-    # --- raygen ------------------------------------------------------------
-    from tinypathtracer_tpu.render import raygen
-
-    @jax.jit
-    def gen(u2):
-        return raygen.camera_rays_u(u2, flat.cam_to_world, flat.cam_yfov,
+        u_cam = lane_uniform(fold_all(keys, _CAM_TAG), 2)
+        o, d = raygen.camera_rays_u(u_cam, flat.cam_to_world, flat.cam_yfov,
                                     flat.cam_aspect, pix % w, pix // w, w, h)
+        return trace_paths(data, cfg, stub_hit, o, d, keys).sum()
 
-    t_gen = _best_of(gen, u6[:, :2])
-    res["raygen_frame_est_s"] = t_gen * n_chunks
+    t_glue = _timed(glue, jax.random.PRNGKey(5)) - overhead
+    res["glue_frame_s"] = t_glue * n_chunks
+    res["glue_ms_per_bounce"] = t_glue / depth * 1e3
 
-    accounted = (res["intersect_frame_est_s"] + res["rng_glue_frame_est_s"]
-                 + res["shade_glue_frame_est_s"] + res["raygen_frame_est_s"])
-    res["accounted_s"] = accounted
-    res["unaccounted_s"] = t_frame - accounted
+    res["residual_s"] = t_frame - res["intersect_frame_s"] - res["glue_frame_s"]
 
     print(json.dumps(res, indent=2, default=float))
     print()
-    print(f"{'stage':34s} {'frame est (s)':>14s} {'% of frame':>11s}")
-    for k in ("intersect_frame_est_s", "rng_glue_frame_est_s",
-              "shade_glue_frame_est_s", "raygen_frame_est_s",
-              "unaccounted_s"):
-        print(f"{k:34s} {res[k]:14.4f} {100 * res[k] / t_frame:10.1f}%")
-    print(f"{'TOTAL frame':34s} {t_frame:14.4f} {n_rays / t_frame:,.0f} rays/s")
+    print(f"{'stage':22s} {'s/frame':>9s} {'% of frame':>11s}")
+    for k in ("intersect_frame_s", "glue_frame_s", "residual_s"):
+        print(f"{k:22s} {res[k]:9.3f} {100 * res[k] / t_frame:10.1f}%")
+    print(f"{'frame':22s} {t_frame:9.3f}   {n_rays / t_frame:,.0f} rays/s")
 
 
 if __name__ == "__main__":
