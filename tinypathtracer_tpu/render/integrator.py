@@ -508,6 +508,14 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         jnp.ones((n,), dtype=bool),
         jnp.ones((n,), dtype=bool),   # prev_spec: camera rays see the env
     )
-    out, _ = lax.scan(bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    # Rematerialize each bounce in the backward pass: reverse-mode
+    # through the plain scan would save every bounce's internals --
+    # including the [F, N] one-hot of fetch_cols, ~8 GB per bounce at
+    # bench size (measured: a 260 GB allocation at 512x512@16spp d8).
+    # With checkpointing only the [N]-sized carries persist; the bounce
+    # recomputes from them during backward (path-replay: identical
+    # randomness by key, so the replay is exact).
+    out, _ = lax.scan(jax.checkpoint(bounce), init,
+                      jnp.arange(cfg.max_depth, dtype=jnp.int32))
     rr, rg, rb = out[9], out[10], out[11]
     return jnp.stack([rr, rg, rb], axis=1)
