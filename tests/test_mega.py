@@ -1,0 +1,116 @@
+"""Megakernel (ops/mega.py) vs the modular bounce loop.
+
+The megakernel must be an *indistinguishable* drop-in for the modular
+reference-mode pipeline: same RNG streams, same hit arithmetic, same
+estimator semantics. On scenes without delta lights the images are
+bit-identical; with lights the only differences are FMA-contraction
+ulps (different fusion contexts), bounded here at 1e-5.
+
+Runs the Pallas kernel in interpret mode on CPU (tests/conftest.py pins
+the CPU backend; `TPT_MEGA_IMPL=interpret` forces the mega path there).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinypathtracer_tpu import RenderConfig, load_scene
+from tinypathtracer_tpu.models.envlight import gradient_sky
+from tinypathtracer_tpu.render.renderer import render_frame
+
+SCENES = "/root/reference/input"
+
+
+def _render_pair(flat, cfg, key):
+    """(megakernel image, modular image) for identical config + key."""
+    os.environ["TPT_MEGA_IMPL"] = "interpret"
+    try:
+        a = np.asarray(render_frame(flat, cfg, key))
+    finally:
+        os.environ["TPT_MEGA_IMPL"] = "off"
+    b = np.asarray(render_frame(
+        flat, dataclasses.replace(cfg, megakernel=False), key))
+    return a, b
+
+
+def _flat(name, env=True):
+    scene = load_scene(f"{SCENES}/{name}.gltf")
+    return scene.flatten(
+        env_radiance=gradient_sky(16, 32) if env else None)
+
+
+def test_mega_bit_identical_box():
+    cfg = RenderConfig(width=24, height=24, spp=2, max_depth=4,
+                       intersector="dense")
+    a, b = _render_pair(_flat("box"), cfg, jax.random.PRNGKey(7))
+    assert np.array_equal(a, b), f"maxdiff {np.abs(a - b).max()}"
+
+
+def test_mega_bit_identical_tir():
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=4,
+                       intersector="dense")
+    a, b = _render_pair(_flat("tir"), cfg, jax.random.PRNGKey(3))
+    assert np.array_equal(a, b), f"maxdiff {np.abs(a - b).max()}"
+
+
+@pytest.mark.parametrize("name", ["ball", "square"])
+def test_mega_delta_lights(name):
+    """Scenes with punctual lights: allclose within FMA-contraction ulps."""
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=4,
+                       intersector="dense")
+    a, b = _render_pair(_flat(name), cfg, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_mega_ragged_lane_count():
+    """Frame sizes that don't divide the 128-lane block width."""
+    cfg = RenderConfig(width=9, height=7, spp=3, max_depth=3,
+                       intersector="dense")
+    a, b = _render_pair(_flat("box"), cfg, jax.random.PRNGKey(11))
+    assert np.array_equal(a, b)
+
+
+def test_mega_gradients_replay_modular():
+    """custom-vjp backward replays the modular path: grads must match
+    the all-modular pipeline exactly."""
+    flat = _flat("box")
+    cfg = RenderConfig(width=12, height=12, spp=2, max_depth=3,
+                       intersector="dense")
+    cfg_mod = dataclasses.replace(cfg, megakernel=False)
+    key = jax.random.PRNGKey(5)
+    tgt = jnp.zeros((12, 12, 3), jnp.float32)
+
+    def loss(albedo, cfg_):
+        f = dataclasses.replace(flat, mtl_base_color=albedo)
+        img = render_frame(f, cfg_, key)
+        return jnp.mean((img - tgt) ** 2)
+
+    os.environ["TPT_MEGA_IMPL"] = "interpret"
+    try:
+        l_a, g_a = jax.value_and_grad(loss)(flat.mtl_base_color, cfg)
+    finally:
+        os.environ["TPT_MEGA_IMPL"] = "off"
+    l_b, g_b = jax.value_and_grad(loss)(flat.mtl_base_color, cfg_mod)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_mega_fallbacks():
+    """Static compatibility gates: physical mode and textured scenes
+    must NOT take the megakernel path."""
+    from tinypathtracer_tpu.ops.mega import mega_available
+    from tinypathtracer_tpu.render.integrator import TraceData
+
+    data = TraceData.from_scene(_flat("box"))
+    ref = RenderConfig(intersector="dense")
+    assert mega_available(data, ref)
+    assert not mega_available(
+        data, dataclasses.replace(ref, mode="physical"))
+    textured = dataclasses.replace(
+        data, tex_atlas=jnp.zeros((1, 8, 8, 3), jnp.float32))
+    assert not mega_available(textured, ref)

@@ -58,6 +58,14 @@ class RenderConfig:
     # Russian roulette is NOT part of the reference estimator; keep off
     # for parity. (Hook for the physical mode.)
     russian_roulette: bool = False
+    # Fuse the whole reference-mode bounce loop into one Pallas program
+    # per ray block (ops/mega.py) when the scene qualifies (untextured,
+    # <= 8192 padded faces) and the backend is TPU. Images are
+    # bit-identical to the modular pipeline (same RNG streams, same hit
+    # arithmetic; delta-light scenes differ by FMA-contraction ulps
+    # only); gradients replay the modular path. Set False to force the
+    # modular per-bounce pipeline everywhere.
+    megakernel: bool = True
 
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):

@@ -161,6 +161,16 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
     scene, data = state.scene, state.data
     w, h = cfg.width, cfg.height
 
+    # Megakernel fast path: whole bounce loop in one Pallas program per
+    # ray block (ops/mega.py), bit-identical images, modular-replay
+    # gradients. Static decision (shapes + cfg only).
+    from tinypathtracer_tpu.ops.mega import mega_enabled, trace_paths_mega
+
+    use_mega = (cfg.intersector == "dense"
+                and mega_enabled(data, cfg,
+                                 state.bvh if cfg.intersector == "dense"
+                                 else None))
+
     n = pix.shape[0]
     # pixels per dispatch chunk, from the ray budget (all spp of a pixel
     # stay in one chunk so the sample reduction happens in-chunk)
@@ -184,7 +194,10 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
         o, d = raygen.camera_rays_u(
             u_cam, scene.cam_to_world, scene.cam_yfov, scene.cam_aspect,
             px, py, w, h)
-        rad = trace_paths(data, cfg, closest_hit, o, d, keys)
+        if use_mega:
+            rad = trace_paths_mega(data, cfg, o, d, keys)
+        else:
+            rad = trace_paths(data, cfg, closest_hit, o, d, keys)
         return rad.reshape(px_chunk, spp, 3).sum(axis=1)
 
     out = lax.map(render_chunk, chunks)
