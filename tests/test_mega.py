@@ -74,6 +74,25 @@ def test_mega_ragged_lane_count():
     assert np.array_equal(a, b)
 
 
+def test_mega_gated_bit_identical():
+    """Per-(chunk, direction) slab gates are culling-only: forcing them
+    on for a small scene must not change a single bit."""
+    cfg = RenderConfig(width=24, height=24, spp=2, max_depth=4,
+                       intersector="dense")
+    flat = _flat("box")
+    key = jax.random.PRNGKey(7)
+    os.environ["TPT_MEGA_IMPL"] = "interpret"
+    os.environ["TPT_MEGA_GATE"] = "on"
+    try:
+        a = np.asarray(render_frame(flat, cfg, key))
+    finally:
+        os.environ["TPT_MEGA_IMPL"] = "off"
+        os.environ["TPT_MEGA_GATE"] = "auto"
+    b = np.asarray(render_frame(
+        flat, dataclasses.replace(cfg, megakernel=False), key))
+    assert np.array_equal(a, b), f"maxdiff {np.abs(a - b).max()}"
+
+
 def test_mega_gradients_replay_modular():
     """custom-vjp backward replays the modular path: grads must match
     the all-modular pipeline exactly."""

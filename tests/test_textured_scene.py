@@ -166,3 +166,98 @@ def test_texel_gradients_match_fd(quad_flat):
         lm = loss(Params(**{**params.__dict__, "tex_atlas": atlas_m}))
         fd = (float(lp) - float(lm)) / (2 * eps)
         np.testing.assert_allclose(g[t, y, x, c], fd, rtol=5e-2, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: mip LOD + bilinear filtering (cfg.tex_filter == "bilinear")
+# ---------------------------------------------------------------------------
+
+def test_mip_chain_content():
+    from tinypathtracer_tpu.models.texture import (build_atlas_mips,
+                                                   mip_level_shapes)
+
+    atlas = jnp.asarray(CHECKER)[None]                     # [1, 2, 2, 3]
+    shapes = mip_level_shapes(2, 2)
+    assert shapes == [(2, 2), (1, 1)]
+    mr, mg, mb = build_atlas_mips(atlas)
+    assert mr.shape == (2 * 2 + 1,)
+    # level 0 = the checker itself, level 1 = point decimation = texel
+    # (0, 0) = red (texture.cu:15-31 upper-left semantics)
+    np.testing.assert_allclose(np.asarray(mr[:4]),
+                               CHECKER[..., 0].reshape(-1))
+    np.testing.assert_allclose(np.asarray([mr[4], mg[4], mb[4]]),
+                               CHECKER[0, 0])
+
+
+def test_bilinear_blends_at_quad_center(quad_flat):
+    import dataclasses as dc
+
+    cfg = RenderConfig(width=32, height=32, spp=16, max_depth=2,
+                       intersector="dense", tex_filter="bilinear")
+    img = np.asarray(Renderer(cfg).render(quad_flat, jax.random.PRNGKey(0)))
+    # uv (0.5, 0.5) bilinearly blends all four texels of the 2x2 checker
+    # -> equal channels (grey), unlike the point fetch which lands in a
+    # single saturated texel
+    c = img[15:17, 15:17].reshape(-1, 3).mean(axis=0)
+    assert c.std() / (c.mean() + 1e-9) < 0.15, f"not a blend: {c}"
+    cfg_pt = dc.replace(cfg, tex_filter="point")
+    img_pt = np.asarray(Renderer(cfg_pt).render(quad_flat,
+                                                jax.random.PRNGKey(0)))
+    # a pixel strictly inside the top-left quadrant: point fetch is the
+    # saturated red texel there, bilinear has begun blending toward it
+    c_pt = img_pt[13, 13]
+    assert c_pt[0] > 2 * max(c_pt[1], c_pt[2]), \
+        f"point fetch should saturate red: {c_pt}"
+
+
+def test_lod_minification_picks_coarse_level(tmp_path):
+    """A 64x64 texture rendered at 8x8 is heavily minified: the LOD
+    heuristic must fetch from a coarse level. The texture is crafted so
+    every coarse-level texel (the [::4, ::4] decimation survivors) is
+    pure red while everything else is blue -- a level-0/1 fetch would
+    show blue, level >= 2 is all red."""
+    rng = np.random.default_rng(0)
+    tex = np.zeros((64, 64, 3), np.float32)
+    tex[..., 2] = 1.0                                      # blue
+    tex[::4, ::4] = [1.0, 0.0, 0.0]                        # red survivors
+    global CHECKER
+    saved = CHECKER
+    try:
+        CHECKER = tex
+        path = _textured_quad_gltf(tmp_path)
+    finally:
+        CHECKER = saved
+    from tinypathtracer_tpu import load_scene
+
+    flat = load_scene(path).flatten(
+        env_radiance=np.ones((4, 8, 3), np.float32))
+    cfg = RenderConfig(width=8, height=8, spp=32, max_depth=2,
+                       intersector="dense", tex_filter="bilinear")
+    img = np.asarray(Renderer(cfg).render(flat, jax.random.PRNGKey(1)))
+    center = img[3:5, 3:5].reshape(-1, 3).mean(axis=0)
+    assert center[0] > 4 * center[2], \
+        f"expected coarse (red) level, got {center}"
+
+
+def test_texel_gradients_bilinear_fd(quad_flat):
+    from tinypathtracer_tpu.diff.invrender import Params, mse_loss
+
+    cfg = RenderConfig(width=12, height=12, spp=4, max_depth=2,
+                       intersector="dense", tile_pixels=144,
+                       tex_filter="bilinear")
+    key = jax.random.PRNGKey(5)
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    params = Params.from_scene(quad_flat)
+
+    loss = lambda p: mse_loss(p, quad_flat, cfg, target, key)
+    g = np.asarray(jax.grad(loss)(params).tex_atlas)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+    eps = 2e-3
+    for (t, y, x, c) in [(0, 0, 0, 0), (0, 1, 1, 2)]:
+        atlas_p = params.tex_atlas.at[t, y, x, c].add(eps)
+        atlas_m = params.tex_atlas.at[t, y, x, c].add(-eps)
+        lp = loss(Params(**{**params.__dict__, "tex_atlas": atlas_p}))
+        lm = loss(Params(**{**params.__dict__, "tex_atlas": atlas_m}))
+        fd = (float(lp) - float(lm)) / (2 * eps)
+        np.testing.assert_allclose(g[t, y, x, c], fd, rtol=5e-2, atol=1e-5)

@@ -58,6 +58,19 @@ class RenderConfig:
     # Russian roulette is NOT part of the reference estimator; keep off
     # for parity. (Hook for the physical mode.)
     russian_roulette: bool = False
+    # Physical mode only: emissive-triangle next-event estimation with
+    # MIS against BSDF sampling (power-weighted face sampling). The
+    # reference estimator's quirk analogue is its extra BSDF-sampled
+    # direct ray (path_tracer.cu:387-401); this is the correct version.
+    # Off = pure BSDF sampling finds emitters by luck.
+    area_nee: bool = True
+    # Base-color texture filtering: "point" reproduces the reference's
+    # cudaFilterModePoint level-0 fetch (texture.cu:129-170, the parity
+    # default); "bilinear" enables distance/ray-spread mip LOD selection
+    # + bilinear filtering through the atlas mip chain -- the filtering
+    # the reference's mip build (texture.cu:90-154) was for but never
+    # configured. Texel gradients flow through either path.
+    tex_filter: str = "point"
     # Fuse the whole reference-mode bounce loop into one Pallas program
     # per ray block (ops/mega.py) when the scene qualifies (untextured,
     # <= 8192 padded faces) and the backend is TPU. Images are
@@ -74,6 +87,8 @@ class RenderConfig:
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.bvh_source not in ("device", "host"):
             raise ValueError(f"unknown bvh_source {self.bvh_source!r}")
+        if self.tex_filter not in ("point", "bilinear"):
+            raise ValueError(f"unknown tex_filter {self.tex_filter!r}")
 
     @property
     def n_pixels(self) -> int:

@@ -79,6 +79,38 @@ def sample_bilinear(level, uv):
             + (1 - fx) * fy * c01 + fx * fy * c11)
 
 
+def mip_level_shapes(h: int, w: int, max_levels: int = 16):
+    """Static (H_l, W_l) chain matching build_mip_pyramid's [::2]
+    decimation (each level is ceil(prev/2))."""
+    shapes = [(h, w)]
+    while len(shapes) < max_levels and (h > 1 or w > 1):
+        h, w = max(1, (h + 1) // 2), max(1, (w + 1) // 2)
+        shapes.append((h, w))
+    return shapes
+
+
+def build_atlas_mips(atlas):
+    """Mip chain of a [T, H, W, 3] texture atlas as ONE flat array per
+    channel: levels (point-decimated, texture.cu:15-31 semantics) are
+    flattened [T*H_l*W_l] and concatenated. Per-lane mip selection then
+    needs no lax.switch: a level's offset/shape are gathered scalars and
+    the bilinear arithmetic stays fully vectorized (see
+    render/integrator's bilinear block).
+
+    Returns (mips_r, mips_g, mips_b) flat arrays; the static shape/
+    offset tables come from `mip_level_shapes(H, W)`.
+    """
+    t, h, w = atlas.shape[0], atlas.shape[1], atlas.shape[2]
+    chans = {0: [], 1: [], 2: []}
+    level = atlas
+    for (hl, wl) in mip_level_shapes(h, w):
+        assert level.shape[1] == hl and level.shape[2] == wl
+        for c in range(3):
+            chans[c].append(level[..., c].reshape(-1))
+        level = level[:, ::2, ::2, :]
+    return tuple(jnp.concatenate(chans[c]) for c in range(3))
+
+
 def sample_mip(levels: Sequence, uv, level_idx, bilinear: bool = True):
     """Fetch from an integer mip level (static shapes per level: the
     level choice is a lax.switch over the chain)."""

@@ -53,10 +53,15 @@ same keys reproduces the identical estimator, so gradients are exactly
 the modular ones (tests/test_grad.py semantics) at the cost of one
 modular recompute in the backward pass.
 
-Scope (static, checked by `mega_supported`): reference estimator mode,
+Scope (static, checked by `mega_available`): reference estimator mode,
 untextured scenes, padded face count <= 8192 (the whole scene's planes
 + shading table stay VMEM-resident; larger scenes keep the modular
-SUPER-gated pipeline). Any number of delta lights (unrolled).
+SUPER-gated pipeline -- see MEGA_MAX_FACES for the measurements), <= 6
+delta lights (unrolled; the query-state scratch has 8 rows for
+2 closest + L any-hit directions). TPT_MEGA_GATE=on opts into one slab
+gate per triangle chunk (direction tests OR-ed, running-best 'hint' far
+bounds, culling-only: bit-identical); measured not a win on the bundled
+scenes, kept for spread-out geometry experiments.
 """
 
 from __future__ import annotations
@@ -75,10 +80,21 @@ from tinypathtracer_tpu.utils.math3d import DELTA, REAL_MAX
 LANES = 128
 _I32_MAX = 2**31 - 1
 PI = 3.141592653589793
-# VMEM ceiling for the resident scene tables ([Fp,12] planes +
-# [32,Fp] shading block, f32): 8192 faces ~= 1.4 MB, comfortably under
-# the ~16 MB budget with double-buffered ray/uniform blocks.
+# Scene-size ceiling for the megakernel. Large scenes were tried and
+# MEASURED (round 4, BASELINE.md): with chunk-gated fori traversal +
+# chunked one-hot fetches the 61k-face stress scene ran 47.8k rays/s at
+# tc=512 and 46.6k at tc=2048 -- BOTH worse than the modular pipeline's
+# SUPER-gated dense kernel (58.8k), and Mosaic compile time for the
+# gated fori kernel is ~4-8 minutes. So the megakernel stays the
+# small-scene fast path (2.7x on the box bench) and large scenes keep
+# the modular gated pipeline.
 MEGA_MAX_FACES = 8192
+# Slab gates are opt-in (TPT_MEGA_GATE=on): measured culling-correct
+# (bit-identical, tests/test_mega.py) but not a win on any bundled
+# scene, and the gated kernel compiles ~4x slower.
+# one-hot shading fetches accumulate over column blocks of this width
+# once the [Fp, w] one-hot would no longer comfortably fit in VMEM
+_FETCH_CHUNK = 2048
 
 # shadeT row map (rows of the [32, Fp] fused table)
 _ROW_PLANES = 0      # 12 rows: wx0..3, wy0..3, wz0..3
@@ -205,63 +221,226 @@ def _sample_bsdf3(u1, u2, u3, dx, dy, dz, nx, ny, nz, eta, metallic):
 # --------------------------------------------------------------------------
 
 def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
-                      w: int = LANES):
+                      w: int = LANES, gated: bool = False):
     n_chunks = fp // tc
 
-    def multi_query(planes_ref, ox, oy, oz, dirs, kinds):
-        """One pass over the triangle chunks for several directions that
-        share an origin. dirs: list of (dx, dy, dz) [1,128] rows; kinds:
-        'closest' -> (best_t, best_slot) result, 'any' -> occluded f32.
-        The per-chunk epilogue matches the production dense kernel's tie
-        semantics exactly (lowest morton slot among equal-t)."""
-        bt = [jnp.full((1, w), REAL_MAX, jnp.float32)
-              for k in kinds if k == "closest"]
-        bi = [jnp.zeros((1, w), jnp.int32)
-              for k in kinds if k == "closest"]
-        occ = [jnp.zeros((1, w), jnp.float32)
-               for k in kinds if k == "any"]
-        for ck in range(n_chunks):
-            p = planes_ref[ck * tc:(ck + 1) * tc, :]          # [tc, 12]
-            opx = ox * p[:, 0:1] + oy * p[:, 1:2] + oz * p[:, 2:3] + p[:, 3:4]
-            opy = ox * p[:, 4:5] + oy * p[:, 5:6] + oz * p[:, 6:7] + p[:, 7:8]
-            opz = (ox * p[:, 8:9] + oy * p[:, 9:10] + oz * p[:, 10:11]
-                   + p[:, 11:12])
-            ic = ia = 0
-            for (dx, dy, dz), kind in zip(dirs, kinds):
-                dpx = dx * p[:, 0:1] + dy * p[:, 1:2] + dz * p[:, 2:3]
-                dpy = dx * p[:, 4:5] + dy * p[:, 5:6] + dz * p[:, 6:7]
-                dpz = dx * p[:, 8:9] + dy * p[:, 9:10] + dz * p[:, 10:11]
-                t = -opz / dpz
-                u = opx + t * dpx
-                v = opy + t * dpy
-                ok = (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0) & (t > DELTA)
+    def make_multi_query(planes_ref, boxes_ref, qt, qi):
+        """Bind the query-state scratch (qt f32 [8,w], qi i32 [8,w]) and
+        return a shared-origin multi-direction query function.
+
+        One `lax.fori_loop` pass over the triangle chunks for several
+        directions that share an origin. dirs: list of (dx, dy, dz)
+        [1, w] rows; kinds: 'closest' -> (best_t, best_slot), 'any' ->
+        occluded f32. qt row i / qi row i hold closest-dir i's running
+        best; qt row n_closest+j holds any-dir j's occluded flag. The
+        per-chunk epilogue matches the production dense kernel's tie
+        semantics exactly (lowest morton slot among equal-t: chunks run
+        in ascending slot order and only strictly-closer hits update).
+
+        gated=True adds a per-(chunk, direction) slab gate: the chunk's
+        AABB (boxes_ref, SMEM) is tested against every lane's ray with
+        the running best as a far bound (the 'hint' mechanism), and the
+        chunk's per-direction work runs only when some lane still needs
+        it -- sublinear effective work for spread-out scenes, and the
+        branch cost is amortized over a whole [tc, w] block (the round-3
+        failure mode was per-CLUSTER gates in the per-bounce pipeline;
+        here one gate guards tc*w*~25 ops)."""
+
+        def multi_query_unrolled(ox, oy, oz, dirs, kinds):
+            """Static-unroll variant for small ungated scenes: running
+            bests live in registers, chunk slices are static. Measured
+            (BASELINE.md) at 2.5M rays/s on the box bench where the
+            fori_loop variant's dynamic slices cost a large factor."""
+            bt = [jnp.full((1, w), REAL_MAX, jnp.float32)
+                  for k in kinds if k == "closest"]
+            bi = [jnp.zeros((1, w), jnp.int32)
+                  for k in kinds if k == "closest"]
+            occ = [jnp.zeros((1, w), jnp.float32)
+                   for k in kinds if k == "any"]
+            for ck in range(n_chunks):
+                p = planes_ref[ck * tc:(ck + 1) * tc, :]      # [tc, 12]
+                opx = (ox * p[:, 0:1] + oy * p[:, 1:2]
+                       + oz * p[:, 2:3] + p[:, 3:4])
+                opy = (ox * p[:, 4:5] + oy * p[:, 5:6]
+                       + oz * p[:, 6:7] + p[:, 7:8])
+                opz = (ox * p[:, 8:9] + oy * p[:, 9:10]
+                       + oz * p[:, 10:11] + p[:, 11:12])
+                ic = ia = 0
+                for (dx, dy, dz), kind in zip(dirs, kinds):
+                    dpx = dx * p[:, 0:1] + dy * p[:, 1:2] + dz * p[:, 2:3]
+                    dpy = dx * p[:, 4:5] + dy * p[:, 5:6] + dz * p[:, 6:7]
+                    dpz = dx * p[:, 8:9] + dy * p[:, 9:10] + dz * p[:, 10:11]
+                    t = -opz / dpz
+                    u = opx + t * dpx
+                    v = opy + t * dpy
+                    ok = (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0) \
+                        & (t > DELTA)
+                    if kind == "closest":
+                        tcand = jnp.where(ok, t, REAL_MAX)
+                        cmin = jnp.min(tcand, axis=0, keepdims=True)
+                        rows = lax.broadcasted_iota(
+                            jnp.int32, (tc, w), 0) + ck * tc
+                        cid = jnp.min(
+                            jnp.where(tcand == cmin, rows, _I32_MAX),
+                            axis=0, keepdims=True)
+                        better = cmin < bt[ic]
+                        bi[ic] = jnp.where(better, cid, bi[ic])
+                        bt[ic] = jnp.where(better, cmin, bt[ic])
+                        ic += 1
+                    else:
+                        occ[ia] = jnp.maximum(
+                            occ[ia],
+                            jnp.max(ok.astype(jnp.float32), axis=0,
+                                    keepdims=True))
+                        ia += 1
+            out, ic, ia = [], 0, 0
+            for kind in kinds:
                 if kind == "closest":
-                    tcand = jnp.where(ok, t, REAL_MAX)
-                    cmin = jnp.min(tcand, axis=0, keepdims=True)
-                    rows = lax.broadcasted_iota(
-                        jnp.int32, (tc, w), 0) + ck * tc
-                    cid = jnp.min(jnp.where(tcand == cmin, rows, _I32_MAX),
-                                  axis=0, keepdims=True)
-                    better = cmin < bt[ic]
-                    bi[ic] = jnp.where(better, cid, bi[ic])
-                    bt[ic] = jnp.where(better, cmin, bt[ic])
+                    slot = jnp.where(bt[ic] >= REAL_MAX, -1, bi[ic])
+                    out.append((bt[ic], slot))
                     ic += 1
                 else:
-                    occ[ia] = jnp.maximum(
-                        occ[ia],
-                        jnp.max(ok.astype(jnp.float32), axis=0,
-                                keepdims=True))
+                    out.append(occ[ia])
                     ia += 1
-        out, ic, ia = [], 0, 0
-        for kind in kinds:
-            if kind == "closest":
-                slot = jnp.where(bt[ic] >= REAL_MAX, -1, bi[ic])
-                out.append((bt[ic], slot))
-                ic += 1
-            else:
-                out.append(occ[ia])
-                ia += 1
-        return out
+            return out
+
+        def multi_query(ox, oy, oz, dirs, kinds):
+            if not gated:
+                return multi_query_unrolled(ox, oy, oz, dirs, kinds)
+            n_cl = sum(1 for k in kinds if k == "closest")
+            ic = ia = 0
+            rows_of = []
+            for k in kinds:
+                if k == "closest":
+                    qt[ic:ic + 1, :] = jnp.full((1, w), REAL_MAX,
+                                                jnp.float32)
+                    qi[ic:ic + 1, :] = jnp.zeros((1, w), jnp.int32)
+                    rows_of.append(ic)
+                    ic += 1
+                else:
+                    qt[n_cl + ia:n_cl + ia + 1, :] = jnp.zeros(
+                        (1, w), jnp.float32)
+                    rows_of.append(n_cl + ia)
+                    ia += 1
+
+            if gated:
+                invs = []
+                for (dx, dy, dz) in dirs:
+                    invs.append(tuple(
+                        jnp.where(dc == 0.0, REAL_MAX,
+                                  1.0 / jnp.where(dc == 0.0, 1.0, dc))
+                        for dc in (dx, dy, dz)))
+
+            def chunk_body(ck, _):
+                base = ck * tc
+
+                def run_chunk():
+                    p = planes_ref[pl.ds(base, tc), :]        # [tc, 12]
+                    opx = (ox * p[:, 0:1] + oy * p[:, 1:2]
+                           + oz * p[:, 2:3] + p[:, 3:4])
+                    opy = (ox * p[:, 4:5] + oy * p[:, 5:6]
+                           + oz * p[:, 6:7] + p[:, 7:8])
+                    opz = (ox * p[:, 8:9] + oy * p[:, 9:10]
+                           + oz * p[:, 10:11] + p[:, 11:12])
+                    for di, ((dx, dy, dz), kind) in enumerate(
+                            zip(dirs, kinds)):
+                        row = rows_of[di]
+
+                        def dir_work(dx=dx, dy=dy, dz=dz, kind=kind,
+                                     row=row):
+                            dpx = (dx * p[:, 0:1] + dy * p[:, 1:2]
+                                   + dz * p[:, 2:3])
+                            dpy = (dx * p[:, 4:5] + dy * p[:, 5:6]
+                                   + dz * p[:, 6:7])
+                            dpz = (dx * p[:, 8:9] + dy * p[:, 9:10]
+                                   + dz * p[:, 10:11])
+                            t = -opz / dpz
+                            u = opx + t * dpx
+                            v = opy + t * dpy
+                            ok = (jnp.minimum(u, v) >= 0.0) \
+                                & (u + v <= 1.0) & (t > DELTA)
+                            if kind == "closest":
+                                tcand = jnp.where(ok, t, REAL_MAX)
+                                cmin = jnp.min(tcand, axis=0,
+                                               keepdims=True)
+                                rws = lax.broadcasted_iota(
+                                    jnp.int32, (tc, w), 0) + base
+                                cid = jnp.min(
+                                    jnp.where(tcand == cmin, rws,
+                                              _I32_MAX),
+                                    axis=0, keepdims=True)
+                                better = cmin < qt[row:row + 1, :]
+                                qi[row:row + 1, :] = jnp.where(
+                                    better, cid, qi[row:row + 1, :])
+                                qt[row:row + 1, :] = jnp.where(
+                                    better, cmin, qt[row:row + 1, :])
+                            else:
+                                qt[row:row + 1, :] = jnp.maximum(
+                                    qt[row:row + 1, :],
+                                    jnp.max(ok.astype(jnp.float32),
+                                            axis=0, keepdims=True))
+
+                        dir_work()
+
+                if not gated:
+                    run_chunk()
+                else:
+                    # ONE slab gate per chunk: OR the per-direction
+                    # "some lane still needs this chunk" tests into a
+                    # single [1, w] row, then a single scalar reduce +
+                    # pl.when guards the whole chunk (per-direction
+                    # whens and reduces multiplied Mosaic compile time
+                    # ~8x for no measurable runtime win).
+                    bx0, by0, bz0 = (boxes_ref[0, ck], boxes_ref[1, ck],
+                                     boxes_ref[2, ck])
+                    bx1, by1, bz1 = (boxes_ref[3, ck], boxes_ref[4, ck],
+                                     boxes_ref[5, ck])
+                    valid = boxes_ref[6, ck]
+                    need_any = None
+                    for di, ((dx, dy, dz), kind) in enumerate(
+                            zip(dirs, kinds)):
+                        ivx, ivy, ivz = invs[di]
+                        tx0 = (bx0 - ox) * ivx
+                        ty0 = (by0 - oy) * ivy
+                        tz0 = (bz0 - oz) * ivz
+                        tx1 = (bx1 - ox) * ivx
+                        ty1 = (by1 - oy) * ivy
+                        tz1 = (bz1 - oz) * ivz
+                        near = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        far = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        hit_box = far >= jnp.maximum(near, DELTA)
+                        row = rows_of[di]
+                        if kind == "closest":
+                            need = hit_box & (near <= qt[row:row + 1, :])
+                        else:
+                            need = hit_box & (qt[row:row + 1, :] == 0.0)
+                        need_any = need if need_any is None \
+                            else (need_any | need)
+                    need_s = jnp.max(need_any.astype(jnp.float32)) * valid
+                    pl.when(need_s > 0.0)(run_chunk)
+                return 0
+
+            lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+            out, ic, ia = [], 0, 0
+            for kind in kinds:
+                if kind == "closest":
+                    bt = qt[ic:ic + 1, :]
+                    slot = jnp.where(bt >= REAL_MAX, -1, qi[ic:ic + 1, :])
+                    out.append((bt, slot))
+                    ic += 1
+                else:
+                    out.append(qt[n_cl + ia:n_cl + ia + 1, :])
+                    ia += 1
+            return out
+
+        return multi_query
 
     # VMEM state-scratch row map (loop-carried per-lane state lives in a
     # scratch buffer, NOT in while_loop carries: Mosaic cannot yet carry
@@ -271,27 +450,47 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
     _TR, _TG, _TB, _RR, _RG, _RB = 6, 7, 8, 9, 10, 11
     _MR, _MG, _MB, _ALIVE, _T = 12, 13, 14, 15, 16
 
-    def kernel(rays_ref, u_ref, planes_ref, shadeT_ref, lights_ref, out_ref,
-               st, sti):
+    def kernel(rays_ref, u_ref, planes_ref, shadeT_ref, boxes_ref,
+               lights_ref, out_ref, st, sti, qt, qi, fbuf):
         r = rays_ref[:]                                     # [8, 128]
         ox, oy, oz = r[0:1], r[1:2], r[2:3]
         dx, dy, dz = r[4:5], r[5:6], r[6:7]
+        multi_query = make_multi_query(planes_ref, boxes_ref, qt, qi)
+
+        def fetch_rows(slot, row_lo, row_n):
+            """Shading-table rows [row_lo:row_lo+row_n] of the hit slot
+            as a [row_n, w] one-hot matmul (exact in HIGHEST precision).
+            Large tables run as a fori accumulation over _FETCH_CHUNK
+            columns so the [Fp, w] one-hot never materializes whole."""
+            if fp <= _FETCH_CHUNK:
+                riota = lax.broadcasted_iota(jnp.int32, (fp, w), 0)
+                oh = (riota == slot).astype(jnp.float32)     # [Fp, w]
+                return jnp.dot(shadeT_ref[row_lo:row_lo + row_n, :], oh,
+                               precision=lax.Precision.HIGHEST)
+            fbuf[0:row_n, :] = jnp.zeros((row_n, w), jnp.float32)
+
+            def body(gk, _):
+                base = gk * _FETCH_CHUNK
+                riota = lax.broadcasted_iota(
+                    jnp.int32, (_FETCH_CHUNK, w), 0) + base
+                oh = (riota == slot).astype(jnp.float32)
+                fbuf[0:row_n, :] += jnp.dot(
+                    shadeT_ref[row_lo:row_lo + row_n,
+                               pl.ds(base, _FETCH_CHUNK)],
+                    oh, precision=lax.Precision.HIGHEST)
+                return 0
+
+            lax.fori_loop(0, fp // _FETCH_CHUNK, body, 0)
+            return fbuf[0:row_n, :]
 
         def fetch32(slot):
-            """All 32 shading rows of the hit slot: [32, Fp] @ one-hot."""
-            riota = lax.broadcasted_iota(jnp.int32, (fp, w), 0)
-            oh = (riota == slot).astype(jnp.float32)        # [Fp, 128]
-            return jnp.dot(shadeT_ref[:], oh,
-                           precision=lax.Precision.HIGHEST)  # [32, 128]
+            return fetch_rows(slot, 0, _SHADE_ROWS)
 
         def fetch_em(slot):
-            riota = lax.broadcasted_iota(jnp.int32, (fp, w), 0)
-            oh = (riota == slot).astype(jnp.float32)
-            return jnp.dot(shadeT_ref[_ROW_EM:_ROW_EM + 1, :], oh,
-                           precision=lax.Precision.HIGHEST)  # [1, 128]
+            return fetch_rows(slot, _ROW_EM, 1)
 
         # camera query (single direction)
-        ((t0, slot0),) = multi_query(planes_ref, ox, oy, oz,
+        ((t0, slot0),) = multi_query(ox, oy, oz,
                                      [(dx, dy, dz)], ["closest"])
 
         zeros = jnp.zeros((1, w), jnp.float32)
@@ -432,7 +631,7 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
                 dirs.append((wix, wiy, wiz))
                 kinds.append("any")
 
-            res = multi_query(planes_ref, hx, hy, hz, dirs, kinds)
+            res = multi_query(hx, hy, hz, dirs, kinds)
             (tn, slot_n), (_t2, slot2) = res[0], res[1]
 
             em2 = fetch_em(jnp.maximum(slot2, 0))
@@ -481,20 +680,24 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "n_lights",
-                                              "interpret", "w"))
-def _mega_pallas(rays8, u8d, planesT, shadeT, lights, depth: int,
-                 n_lights: int, interpret: bool = False, w: int = LANES):
+                                              "interpret", "w", "gated"))
+def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
+                 n_lights: int, interpret: bool = False, w: int = LANES,
+                 gated: bool = False):
     """rays8 [8, N]; u8d [8*depth, N]; planesT [Fp, 12]; shadeT [32, Fp];
-    lights [max(L,1), 16]. Returns [16, N] packed rows (see kernel).
-    w = rays per grid block (lane width of every per-lane tile): wider
-    blocks amortize the per-chunk plane-coefficient broadcasts over
-    more rays at the cost of larger in-kernel transients."""
+    boxes [8, n_chunks]; lights [max(L,1), 16]. Returns [16, N] packed
+    rows (see kernel). w = rays per grid block (lane width of every
+    per-lane tile): wider blocks amortize the per-chunk plane-
+    coefficient broadcasts over more rays at the cost of larger
+    in-kernel transients."""
     n = rays8.shape[1]
     fp = planesT.shape[0]
-    tc = _pick_tc(fp)
+    tc = int(os.environ.get("TPT_MEGA_TC", 0)) or _pick_tc(fp)
+    if fp % tc:
+        tc = _pick_tc(fp)
     grid = (n // w,)
     out = pl.pallas_call(
-        _make_mega_kernel(fp, tc, depth, n_lights, w),
+        _make_mega_kernel(fp, tc, depth, n_lights, w, gated),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, w), lambda i: (0, i),
@@ -505,6 +708,8 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, lights, depth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SHADE_ROWS, fp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(lights.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -514,19 +719,23 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, lights, depth: int,
         scratch_shapes=[
             pltpu.VMEM((24, w), jnp.float32),       # per-lane f32 state
             pltpu.VMEM((8, w), jnp.int32),          # per-lane hit slot
+            pltpu.VMEM((8, w), jnp.float32),        # query best-t / occl
+            pltpu.VMEM((8, w), jnp.int32),          # query best slot
+            pltpu.VMEM((_SHADE_ROWS, w), jnp.float32),  # chunked fetch acc
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # the statically-unrolled chunk loop's transients exceed the
-            # 16 MB default scoped-vmem budget; v5e has headroom
+            # the chunk loop's transients exceed the 16 MB default
+            # scoped-vmem budget; v5e has headroom
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(rays8, u8d, planesT, shadeT, lights)
+    )(rays8, u8d, planesT, shadeT, boxes, lights)
     return out
 
 
 def _scene_blocks(data, woop):
-    """Morton-slot-indexed fused table [32, Fp] + planes [Fp, 12]."""
+    """Morton-slot-indexed fused table [32, Fp] + planes [Fp, 12] +
+    per-chunk gate AABBs [8, Fp/tc] (rows 0-2 bmin, 3-5 bmax, 6 valid)."""
     fp = woop.n_padded
     planesT = jnp.concatenate([woop.wx.T, woop.wy.T, woop.wz.T], axis=1)
     planes_rows = jnp.concatenate([woop.wx, woop.wy, woop.wz], axis=0)
@@ -539,7 +748,23 @@ def _scene_blocks(data, woop):
     shadeT = jnp.concatenate([
         planes_rows, shade_m,
         jnp.zeros((_SHADE_ROWS - 12 - 15, fp), jnp.float32)], axis=0)
-    return planesT, shadeT
+
+    # gate boxes at triangle-chunk granularity, morton order; padding
+    # faces contribute inverted boxes, all-padding chunks get valid=0
+    tc = int(os.environ.get("TPT_MEGA_TC", 0)) or _pick_tc(fp)
+    if fp % tc:
+        tc = _pick_tc(fp)
+    tv = data.tri_verts[woop.perm]                           # [Fp, 3, 3]
+    fb_min = jnp.where(valid[:, None], jnp.min(tv, axis=1), REAL_MAX)
+    fb_max = jnp.where(valid[:, None], jnp.max(tv, axis=1), -REAL_MAX)
+    n_ck = fp // tc
+    ck_min = fb_min.reshape(n_ck, tc, 3).min(axis=1)         # [C, 3]
+    ck_max = fb_max.reshape(n_ck, tc, 3).max(axis=1)
+    ck_valid = (jnp.arange(n_ck) * tc < woop.n_faces)
+    boxes = jnp.concatenate(
+        [ck_min.T, ck_max.T, ck_valid[None].astype(jnp.float32),
+         jnp.zeros((1, n_ck), jnp.float32)], axis=0)         # [8, C]
+    return planesT, shadeT, boxes
 
 
 def _lights_block(data):
@@ -559,11 +784,15 @@ def _lights_block(data):
 
 
 def mega_available(data, cfg, woop=None) -> bool:
-    """Static compatibility: reference mode, untextured, small scene."""
+    """Static compatibility: reference mode, untextured, VMEM-resident
+    scene, and few enough delta lights for the query-state scratch
+    (2 closest + L any-hit rows must fit the 8-row qt/qi buffers)."""
     if cfg.mode != "reference":
         return False
     if (data.tex_atlas.shape[0] > 1 or data.tex_atlas.shape[1] > 1
             or data.tex_atlas.shape[2] > 1):
+        return False
+    if data.light_kind.shape[0] > 6:
         return False
     if woop is not None and woop.n_padded > MEGA_MAX_FACES:
         return False
@@ -619,8 +848,9 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
 
         sg = jax.tree_util.tree_map(lax.stop_gradient, data_)
         woop_ = precompute_woop(sg.tri_verts)
-        planesT, shadeT = _scene_blocks(sg, woop_)
+        planesT, shadeT, boxes = _scene_blocks(sg, woop_)
         lights = _lights_block(sg)
+        gated = os.environ.get("TPT_MEGA_GATE", "off") == "on"
         # measured on v5e (BASELINE.md): W=128 -> 2.14M rays/s,
         # W=256 -> 2.54M, W=512 -> 2.57M on the box bench; 256 is the
         # default (512 is ~1% faster but doubles in-kernel transients)
@@ -634,10 +864,10 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
             [o.T, jnp.zeros((1, n + pad), jnp.float32),
              dd.T, jnp.zeros((1, n + pad), jnp.float32)], axis=0)
         u_p = jnp.pad(u8d, ((0, 0), (0, pad))) if pad else u8d
-        out = _mega_pallas(rays8, u_p, planesT, shadeT, lights,
+        out = _mega_pallas(rays8, u_p, planesT, shadeT, boxes, lights,
                            depth=d_depth,
                            n_lights=int(data_.light_kind.shape[0]),
-                           interpret=interpret, w=w)
+                           interpret=interpret, w=w, gated=gated)
         rad = out[0:3, :n]                                   # [3, N]
         mthr = out[3:6, :n]
         mdx, mdy, mdz = out[6, :n], out[7, :n], out[8, :n]

@@ -49,11 +49,9 @@ from tinypathtracer_tpu.models.envlight import (
 from tinypathtracer_tpu.models.scene import FlatScene
 from tinypathtracer_tpu.ops import bsdf, lights as lights_ops
 from tinypathtracer_tpu.ops import shading_c
-from tinypathtracer_tpu.ops.sampling import (PI, fold_all,
-                                             hemisphere_cosine_u,
-                                             lane_uniform)
+from tinypathtracer_tpu.ops.sampling import (PI, fold_all, lane_uniform)
 from tinypathtracer_tpu.ops.traverse import _ray_tri_single
-from tinypathtracer_tpu.utils.math3d import vdot, vnormalize
+from tinypathtracer_tpu.utils.math3d import vcross, vdot, vnormalize
 
 # closest_hit(origins [N,3], dirs [N,3], mask=[N] bool or None)
 #   -> (fid [N] i32, t [N], uv [N,2]); mask=False lanes report miss and
@@ -91,8 +89,8 @@ class TraceData:
     # Fused per-face shading table [F, 15] (+6 texcoord cols when the
     # scene is textured): corner normals (9), base color (3), emission
     # (1), eta (1), metallic (1) [, corner texcoords (6)]. One row
-    # fetch per bounce replaces ~12 separate gathers. Row fetches go
-    # through `fetch_rows` (an EXACT one-hot matmul on the MXU for
+    # fetch per bounce replaces ~12 separate gathers. Fetches go
+    # through `fetch_cols` (an EXACT one-hot matmul on the MXU for
     # small tables: measured ~5 ms vs ~25 ms for a materialized XLA
     # gather of this width at 1M rays -- gathers here run at only
     # ~1 G elem/s). Triangle VERTICES are deliberately NOT in the pack:
@@ -120,15 +118,59 @@ class TraceData:
     atlas_r: jnp.ndarray
     atlas_g: jnp.ndarray
     atlas_b: jnp.ndarray
+    # Mip chain of the atlas, one flat array per channel (levels
+    # concatenated; static offsets from texture.mip_level_shapes).
+    # Consumed by cfg.tex_filter == "bilinear" (distance/ray-spread LOD
+    # + bilinear fetch -- the filtering the reference's mip chain was
+    # built for but never configured, texture.cu:90-170).
+    atlas_mips_r: jnp.ndarray
+    atlas_mips_g: jnp.ndarray
+    atlas_mips_b: jnp.ndarray
+    # [F] per-face uv-density sqrt(uv_area / world_area): texels/pixel
+    # ~= t * pixel_angle * duv * tex_height drives the LOD pick
+    face_duv: jnp.ndarray
+    # 2 * tan(yfov / 2): vertical view extent per unit distance (divide
+    # by cfg.height for the per-pixel ray spread)
+    cam_spread: jnp.ndarray
+    # Emissive-triangle NEE tables (physical mode): per-face world area,
+    # power-weighted sampling cdf over ALL faces (zero-power faces get
+    # zero mass; no static emissive subset needed), and the total power
+    # W = sum(emission * area). The area-light machinery the reference
+    # estimator approximates with its extra BSDF-sampled direct ray
+    # (path_tracer.cu:387-401) -- here done properly with MIS.
+    face_area: jnp.ndarray       # [F]
+    em_cdf: jnp.ndarray          # [F] inclusive cdf of emission*area
+    em_power: jnp.ndarray        # [] sum of emission*area
 
     @staticmethod
     def from_scene(scene: FlatScene) -> "TraceData":
+        from tinypathtracer_tpu.models.texture import build_atlas_mips
+
         wv, wn = scene.world_geometry()
         tables = build_env_tables(scene.env_radiance)
         tri_verts = wv[scene.indices]
         corner_n = wn[scene.indices]                       # [F, 3, 3]
         f = scene.indices.shape[0]
         face_emission = scene.mtl_emission[scene.face_mtl]
+        mips = build_atlas_mips(scene.tex_atlas)
+        if scene.has_textures:
+            cuv = scene.texcoords[scene.indices]           # [F, 3, 2]
+            e1w = tri_verts[:, 1] - tri_verts[:, 0]
+            e2w = tri_verts[:, 2] - tri_verts[:, 0]
+            area_w = 0.5 * jnp.linalg.norm(vcross(e1w, e2w), axis=1)
+            e1u = cuv[:, 1] - cuv[:, 0]
+            e2u = cuv[:, 2] - cuv[:, 0]
+            area_u = 0.5 * jnp.abs(e1u[:, 0] * e2u[:, 1]
+                                   - e1u[:, 1] * e2u[:, 0])
+            face_duv = jnp.sqrt(area_u / jnp.maximum(area_w, 1e-20))
+        else:
+            face_duv = jnp.zeros((f,), jnp.float32)
+        e1 = tri_verts[:, 1] - tri_verts[:, 0]
+        e2 = tri_verts[:, 2] - tri_verts[:, 0]
+        face_area = 0.5 * jnp.linalg.norm(vcross(e1, e2), axis=1)
+        em_w = face_emission * face_area
+        em_cdf = jnp.cumsum(em_w)
+        em_power = em_cdf[-1] if f > 0 else jnp.float32(0.0)
         cols = [
             corner_n.reshape(f, 9),
             scene.mtl_base_color[scene.face_mtl],
@@ -168,29 +210,25 @@ class TraceData:
             atlas_r=scene.tex_atlas[..., 0].reshape(-1),
             atlas_g=scene.tex_atlas[..., 1].reshape(-1),
             atlas_b=scene.tex_atlas[..., 2].reshape(-1),
+            atlas_mips_r=mips[0],
+            atlas_mips_g=mips[1],
+            atlas_mips_b=mips[2],
+            face_duv=face_duv,
+            cam_spread=2.0 * jnp.tan(0.5 * scene.cam_yfov),
+            face_area=face_area,
+            em_cdf=em_cdf,
+            em_power=em_power,
         )
 
 
-def fetch_rows(table, idx):
-    """EXACT row fetch table[idx] for small tables, on the MXU.
-
-    XLA's materialized gather runs at ~1 G elem/s on this backend (a
-    [1M, 15] fetch is ~15 ms); a one-hot matmul in HIGHEST precision
-    (bf16x6 passes, exact for f32 because the one-hot side is exactly
-    representable) does the same fetch in ~4-5 ms and its transpose is
-    the gradient. Falls back to the plain gather for tables too large
-    to one-hot against (one-hot cost scales with F).
-    """
-    f = table.shape[0]
-    if f > 8192:
-        return table[idx]
-    oh = (idx[:, None] == jnp.arange(f, dtype=idx.dtype)[None, :]).astype(
-        table.dtype)
-    return jnp.dot(oh, table, precision=lax.Precision.HIGHEST)
-
-
 def fetch_cols(tableT, idx):
-    """fetch_rows for a TRANSPOSED table: [S, F][:, idx] -> [S, N].
+    """EXACT column fetch [S, F][:, idx] -> [S, N] for small tables, on
+    the MXU as a one-hot matmul in HIGHEST precision (bf16x6 passes,
+    exact for f32 because the one-hot side is exactly representable).
+    XLA's materialized gather runs at ~1 G elem/s on this backend (a
+    [1M, 15] fetch is ~15 ms; the one-hot dot is ~4-5 ms) and the dot's
+    transpose is the gradient. Falls back to the plain gather for
+    tables too large to one-hot against (one-hot cost scales with F).
 
     Component rows of the result are free sublane slices (the bounce
     loop is component-form; a [N, S] result would pay a lane-relayout
@@ -304,12 +342,14 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     # form the same math is <2 ms. See ops/shading_c.py.
     def bounce(state, depth):
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-         alive, prev_spec) = state
-        # One [N, 6] uniform block per bounce from per-lane keys:
-        # cols 0-1 BSDF hemisphere, 2 BSDF Fresnel coin; in reference
-        # mode cols 3-4 are the extra direct-sample hemisphere and 5 its
-        # coin; in physical mode cols 3-4 drive env NEE and 5 RR.
-        u = lane_uniform(fold_all(lane_keys, depth), 6)
+         alive, prev_spec, prev_pdf) = state
+        # One uniform block per bounce from per-lane keys: cols 0-1 BSDF
+        # hemisphere, 2 BSDF Fresnel coin; in reference mode cols 3-4
+        # are the extra direct-sample hemisphere and 5 its coin; in
+        # physical mode cols 3-4 drive env NEE, 5 RR, 6 the emissive-
+        # face pick and 7-8 its surface point (area NEE).
+        u = lane_uniform(fold_all(lane_keys, depth),
+                         9 if cfg.mode == "physical" else 6)
 
         o3 = jnp.stack([ox, oy, oz], axis=1)
         d3 = jnp.stack([dx, dy, dz], axis=1)
@@ -364,20 +404,106 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             vt = lax.stop_gradient(
                 (w_ * packT[16] + u_ * packT[18]) + v_ * packT[20])
             tid = data.face_tex[jnp.maximum(fid, 0)]
-            tx = jnp.clip((jnp.mod(ut, 1.0) * tw).astype(jnp.int32),
-                          0, tw - 1)
-            ty = jnp.clip((jnp.mod(vt, 1.0) * th).astype(jnp.int32),
-                          0, th - 1)
-            flat_idx = (jnp.maximum(tid, 0) * (th * tw) + ty * tw + tx)
             textured = tid >= 0
-            br = br * jnp.where(textured, data.atlas_r[flat_idx], 1.0)
-            bg_ = bg_ * jnp.where(textured, data.atlas_g[flat_idx], 1.0)
-            bb = bb * jnp.where(textured, data.atlas_b[flat_idx], 1.0)
+            if cfg.tex_filter == "bilinear":
+                # Distance/ray-spread mip LOD + bilinear filtering
+                # through the atlas mip chain. Per-lane level: the
+                # chain is stored FLAT (texture.build_atlas_mips), so a
+                # level's offset/shape are gathered scalars and the
+                # whole fetch stays vectorized -- no lax.switch.
+                # texels/pixel ~= t * pixel_angle * duv * tex_height.
+                from tinypathtracer_tpu.models.texture import \
+                    mip_level_shapes
+
+                shapes = mip_level_shapes(th, tw)
+                n_tex = data.tex_atlas.shape[0]
+                offs, acc = [], 0
+                for (hl_, wl_) in shapes:
+                    offs.append(acc)
+                    acc += n_tex * hl_ * wl_
+                hs = jnp.asarray([s[0] for s in shapes], jnp.int32)
+                ws = jnp.asarray([s[1] for s in shapes], jnp.int32)
+                off_t = jnp.asarray(offs, jnp.int32)
+                duv = data.face_duv[jnp.maximum(fid, 0)]
+                px_angle = data.cam_spread / cfg.height
+                texels_px = lax.stop_gradient(t) * px_angle * duv * th
+                lodf = jnp.log2(jnp.maximum(texels_px, 1e-20))
+                lvl = jnp.clip(jnp.floor(lodf).astype(jnp.int32),
+                               0, len(shapes) - 1)
+                hl = hs[lvl]
+                wl = ws[lvl]
+                off = off_t[lvl]
+                uu = jnp.mod(ut, 1.0) * wl.astype(jnp.float32) - 0.5
+                vv = jnp.mod(vt, 1.0) * hl.astype(jnp.float32) - 0.5
+                x0 = jnp.floor(uu)
+                y0 = jnp.floor(vv)
+                fx = uu - x0
+                fy = vv - y0
+                x0i = x0.astype(jnp.int32)
+                y0i = y0.astype(jnp.int32)
+                x0w = jnp.mod(x0i, wl)
+                x1w = jnp.mod(x0i + 1, wl)
+                y0w = jnp.mod(y0i, hl)
+                y1w = jnp.mod(y0i + 1, hl)
+                lay = off + jnp.maximum(tid, 0) * (hl * wl)
+                i00 = lay + y0w * wl + x0w
+                i10 = lay + y0w * wl + x1w
+                i01 = lay + y1w * wl + x0w
+                i11 = lay + y1w * wl + x1w
+                w00 = (1.0 - fx) * (1.0 - fy)
+                w10 = fx * (1.0 - fy)
+                w01 = (1.0 - fx) * fy
+                w11 = fx * fy
+
+                def bilin(ch):
+                    return (w00 * ch[i00] + w10 * ch[i10]
+                            + w01 * ch[i01] + w11 * ch[i11])
+
+                tex_r = bilin(data.atlas_mips_r)
+                tex_g = bilin(data.atlas_mips_g)
+                tex_b = bilin(data.atlas_mips_b)
+            else:
+                tx = jnp.clip((jnp.mod(ut, 1.0) * tw).astype(jnp.int32),
+                              0, tw - 1)
+                ty = jnp.clip((jnp.mod(vt, 1.0) * th).astype(jnp.int32),
+                              0, th - 1)
+                flat_idx = (jnp.maximum(tid, 0) * (th * tw) + ty * tw + tx)
+                tex_r = data.atlas_r[flat_idx]
+                tex_g = data.atlas_g[flat_idx]
+                tex_b = data.atlas_b[flat_idx]
+            br = br * jnp.where(textured, tex_r, 1.0)
+            bg_ = bg_ * jnp.where(textured, tex_g, 1.0)
+            bb = bb * jnp.where(textured, tex_b, 1.0)
 
         # Terminal: emissive hit contributes the raw scalar emission
         # (path_tracer.cu:408-412, 421-423)
         emissive = emission > 0.0
         hit_em = jnp.where(alive & ~miss & emissive, emission, 0.0)
+        if cfg.mode == "physical" and cfg.area_nee:
+            # MIS against area NEE: this hit could also have been found
+            # by the emissive-face sampler below, with solid-angle pdf
+            # p_nee = (emission / W) * t^2 / cos_light. prev_pdf == 0
+            # marks camera / specular predecessors (NEE never samples
+            # those paths -> full weight). Balance heuristic.
+            w_power = lax.stop_gradient(data.em_power)
+            # geometric normal of the hit face: the NEE sampler's pdf
+            # below uses it too, so the two balance weights of a given
+            # path sum to exactly 1 (consistent measures)
+            tv_h = lax.stop_gradient(data.tri_verts[jnp.maximum(fid, 0)])
+            ng = vcross(tv_h[:, 1] - tv_h[:, 0], tv_h[:, 2] - tv_h[:, 0])
+            ng = ng / jnp.maximum(
+                jnp.linalg.norm(ng, axis=1, keepdims=True), 1e-20)
+            cos_l = jnp.abs(dx * ng[:, 0] + dy * ng[:, 1] + dz * ng[:, 2])
+            p_nee = jnp.where(
+                w_power > 0.0,
+                (lax.stop_gradient(emission) / jnp.maximum(w_power, 1e-20))
+                * t * t / jnp.maximum(cos_l, 1e-8),
+                0.0)
+            w_mis = jnp.where(prev_pdf > 0.0,
+                              prev_pdf / jnp.maximum(prev_pdf + p_nee,
+                                                     1e-20),
+                              1.0)
+            hit_em = hit_em * lax.stop_gradient(w_mis)
         rr = rr + tr * hit_em
         rg = rg + tg * hit_em
         rb = rb + tb * hit_em
@@ -468,6 +594,51 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             w_env = jnp.where(pdf_e > 0.0, cos_e / jnp.maximum(pdf_e, 1e-12), 0.0)
             direct = direct + jnp.where((efid < 0)[:, None],
                                         f_diff * w_env[:, None] * env_e, 0.0)
+            if cfg.area_nee:
+                # Emissive-triangle NEE with MIS (the correct version of
+                # the reference's extra direct ray, path_tracer.cu:
+                # 387-401): pick a face by power (searchsorted inverse-
+                # cdf over ALL faces; zero-power faces carry zero mass),
+                # a uniform point on it, one shadow closest-hit, then
+                # weight by the balance heuristic against the diffuse
+                # BSDF pdf. Sampling distribution is detached (path-
+                # replay); the radiance term stays differentiable.
+                from tinypathtracer_tpu.ops.sampling import \
+                    triangle_uniform_u
+
+                cdf = lax.stop_gradient(data.em_cdf)
+                w_power = cdf[-1]
+                fsel = jnp.clip(
+                    jnp.searchsorted(cdf, u[:, 6] * w_power),
+                    0, data.tri_verts.shape[0] - 1).astype(jnp.int32)
+                tv_s = data.tri_verts[fsel]                  # [N, 3, 3]
+                y = triangle_uniform_u(u[:, 7], u[:, 8],
+                                       tv_s[:, 0], tv_s[:, 1], tv_s[:, 2])
+                d_vec = lax.stop_gradient(y) - hit_pos
+                dist2 = jnp.maximum(vdot(d_vec, d_vec), 1e-12)
+                dist = jnp.sqrt(dist2)
+                wi_a = d_vec / dist[:, None]
+                n_s = vcross(tv_s[:, 1] - tv_s[:, 0], tv_s[:, 2] - tv_s[:, 0])
+                n_s = n_s / jnp.maximum(
+                    jnp.linalg.norm(n_s, axis=1, keepdims=True), 1e-20)
+                cos_x = jnp.maximum(vdot(wi_a, n_side), 0.0)
+                cos_y = jnp.abs(vdot(wi_a, lax.stop_gradient(n_s)))
+                em_s = data.face_emission[fsel]
+                want = diffuse & (w_power > 0.0) & (em_s > 0.0)
+                sfid, _ts, _us = closest_hit(lax.stop_gradient(hit_pos),
+                                             lax.stop_gradient(wi_a),
+                                             mask=want)
+                visible = want & (sfid == fsel)
+                p_area = lax.stop_gradient(em_s) / jnp.maximum(w_power,
+                                                               1e-20)
+                # balance heuristic vs the cosine-lobe BSDF pdf
+                p_nee_w = p_area * dist2 / jnp.maximum(cos_y, 1e-8)
+                w_mis = lax.stop_gradient(
+                    p_nee_w / jnp.maximum(p_nee_w + cos_x / PI, 1e-20))
+                amt = (em_s * cos_x * cos_y
+                       / (dist2 * jnp.maximum(p_area, 1e-20))) * w_mis
+                direct = direct + jnp.where(visible[:, None],
+                                            f_diff * amt[:, None], 0.0)
             drad = jnp.where(diffuse[:, None], thr3 * direct, 0.0)
             rr = rr + drad[:, 0]
             rg = rg + drad[:, 1]
@@ -483,6 +654,16 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         dy = jnp.where(live, ndy, dy)
         dz = jnp.where(live, ndz, dz)
         prev_spec = jnp.where(live, is_spec, prev_spec)
+        if cfg.mode == "physical":
+            # solid-angle pdf of the diffuse draw (0 marks specular /
+            # dead: the emissive-hit MIS above gives those full weight).
+            # n_side is the incident-side normal from the NEE block
+            # (computed with the PRE-update direction).
+            nd3 = jnp.stack([ndx, ndy, ndz], axis=1)
+            cos_nd = jnp.maximum(vdot(nd3, n_side), 0.0)
+            pdf_draw = jnp.where(is_spec, 0.0, cos_nd / PI)
+            prev_pdf = jnp.where(live, lax.stop_gradient(pdf_draw),
+                                 prev_pdf)
 
         # Russian roulette (physical mode only; not part of the
         # reference estimator)
@@ -496,7 +677,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             live = live & ~kill
 
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                live, prev_spec), None
+                live, prev_spec, prev_pdf), None
 
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
@@ -507,6 +688,7 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         zeros, zeros, zeros,
         jnp.ones((n,), dtype=bool),
         jnp.ones((n,), dtype=bool),   # prev_spec: camera rays see the env
+        zeros,                        # prev_pdf: 0 = camera/specular
     )
     # Rematerialize each bounce in the backward pass: reverse-mode
     # through the plain scan would save every bounce's internals --
