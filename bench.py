@@ -11,10 +11,13 @@ Env overrides (all optional):
   BENCH_WIDTH/HEIGHT/SPP/DEPTH  workload shape (default 512x512@16, d8)
   BENCH_INTERSECTOR             "dense" (default) | "bvh" | "wbvh" | "bruteforce"
   BENCH_REPEATS                 timed repetitions (default 3, best-of)
-  BENCH_MODE                    "fwd" (default) | "fwdbwd": fwdbwd times
+  BENCH_MODE                    "fwdbwd" (default) | "fwd": fwdbwd times
                                 one value_and_grad step of the MSE loss
                                 (diff/invrender.mse_loss) -- the north
-                                star's fwd+bwd metric
+                                star's fwd+bwd metric and the DEFAULT
+                                since round 5 (the driver-captured
+                                headline must be the north-star number,
+                                VERDICT r4 weak #2)
   BENCH_SCENE                   "box" (default) | "stress": stress is the
                                 ~63k-face sphere grid (models/procedural),
                                 exercising the SUPER-gated kernel
@@ -48,7 +51,7 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", 8))
     intersector = os.environ.get("BENCH_INTERSECTOR", "dense")
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    mode = os.environ.get("BENCH_MODE", "fwd")
+    mode = os.environ.get("BENCH_MODE", "fwdbwd")
     scene_name = os.environ.get("BENCH_SCENE", "box")
 
     if scene_name == "stress":

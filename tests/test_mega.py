@@ -7,11 +7,12 @@ bit-identical; with lights the only differences are FMA-contraction
 ulps (different fusion contexts), bounded here at 1e-5.
 
 Runs the Pallas kernel in interpret mode on CPU (tests/conftest.py pins
-the CPU backend; `TPT_MEGA_IMPL=interpret` forces the mega path there).
+the CPU backend; cfg.mega_impl="interpret" forces the mega path there
+-- a real config field since round 5, so the knob participates in the
+jit compile key instead of being a trace-time env read, ADVICE r4).
 """
 
 import dataclasses
-import os
 
 import numpy as np
 import jax
@@ -27,11 +28,8 @@ SCENES = "/root/reference/input"
 
 def _render_pair(flat, cfg, key):
     """(megakernel image, modular image) for identical config + key."""
-    os.environ["TPT_MEGA_IMPL"] = "interpret"
-    try:
-        a = np.asarray(render_frame(flat, cfg, key))
-    finally:
-        os.environ["TPT_MEGA_IMPL"] = "off"
+    a = np.asarray(render_frame(
+        flat, dataclasses.replace(cfg, mega_impl="interpret"), key))
     b = np.asarray(render_frame(
         flat, dataclasses.replace(cfg, megakernel=False), key))
     return a, b
@@ -81,13 +79,9 @@ def test_mega_gated_bit_identical():
                        intersector="dense")
     flat = _flat("box")
     key = jax.random.PRNGKey(7)
-    os.environ["TPT_MEGA_IMPL"] = "interpret"
-    os.environ["TPT_MEGA_GATE"] = "on"
-    try:
-        a = np.asarray(render_frame(flat, cfg, key))
-    finally:
-        os.environ["TPT_MEGA_IMPL"] = "off"
-        os.environ["TPT_MEGA_GATE"] = "auto"
+    a = np.asarray(render_frame(
+        flat, dataclasses.replace(cfg, mega_impl="interpret",
+                                  mega_gate="on"), key))
     b = np.asarray(render_frame(
         flat, dataclasses.replace(cfg, megakernel=False), key))
     assert np.array_equal(a, b), f"maxdiff {np.abs(a - b).max()}"
@@ -108,11 +102,8 @@ def test_mega_gradients_replay_modular():
         img = render_frame(f, cfg_, key)
         return jnp.mean((img - tgt) ** 2)
 
-    os.environ["TPT_MEGA_IMPL"] = "interpret"
-    try:
-        l_a, g_a = jax.value_and_grad(loss)(flat.mtl_base_color, cfg)
-    finally:
-        os.environ["TPT_MEGA_IMPL"] = "off"
+    l_a, g_a = jax.value_and_grad(loss)(
+        flat.mtl_base_color, dataclasses.replace(cfg, mega_impl="interpret"))
     l_b, g_b = jax.value_and_grad(loss)(flat.mtl_base_color, cfg_mod)
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),

@@ -9,6 +9,7 @@ static jit arguments, plus a CLI in tools/render_cli.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 
@@ -79,6 +80,26 @@ class RenderConfig:
     # only); gradients replay the modular path. Set False to force the
     # modular per-bounce pipeline everywhere.
     megakernel: bool = True
+    # Megakernel tuning knobs (ops/mega.py). These are REAL config
+    # fields (not trace-time env reads) so they participate in the jit
+    # compile key -- flipping an env var after a Renderer's first
+    # render can never silently hit a stale compile (ADVICE r4). The
+    # TPT_MEGA_* env vars remain the default source, read once at
+    # config construction.
+    #   mega_impl: "auto" (mega on TPU when the scene qualifies) |
+    #              "off" | "interpret" (force mega in interpret mode,
+    #              for CPU tests)
+    #   mega_w:    rays per mega grid block (lane width)
+    #   mega_tc:   triangle chunk size (0 = auto _pick_tc)
+    #   mega_gate: "off" | "on" per-chunk slab gates (culling-only)
+    mega_impl: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPT_MEGA_IMPL", "auto"))
+    mega_w: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_MEGA_W", "256")))
+    mega_tc: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_MEGA_TC", "0")))
+    mega_gate: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPT_MEGA_GATE", "off"))
 
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
@@ -89,6 +110,10 @@ class RenderConfig:
             raise ValueError(f"unknown bvh_source {self.bvh_source!r}")
         if self.tex_filter not in ("point", "bilinear"):
             raise ValueError(f"unknown tex_filter {self.tex_filter!r}")
+        if self.mega_impl not in ("auto", "off", "interpret"):
+            raise ValueError(f"unknown mega_impl {self.mega_impl!r}")
+        if self.mega_gate not in ("off", "on", "auto"):
+            raise ValueError(f"unknown mega_gate {self.mega_gate!r}")
 
     @property
     def n_pixels(self) -> int:

@@ -107,6 +107,14 @@ def build_atlas_mips(atlas):
         assert level.shape[1] == hl and level.shape[2] == wl
         for c in range(3):
             chans[c].append(level[..., c].reshape(-1))
+        # Point-decimate keeping the EVEN texel of each pair. The
+        # reference's textureDownsampling (texture.cu:15-31) point-
+        # samples at output-texel centers, which lands on the ODD input
+        # texel -- a one-texel phase offset per level. Irrelevant for
+        # parity: the reference configures cudaFilterModePoint on level
+        # 0 only and never reads its mips; our "bilinear" tex_filter
+        # (the only consumer of this chain) is already a non-parity
+        # extension. Documented per ADVICE r4.
         level = level[:, ::2, ::2, :]
     return tuple(jnp.concatenate(chans[c]) for c in range(3))
 

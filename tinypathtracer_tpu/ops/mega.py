@@ -67,7 +67,6 @@ scenes, kept for spread-out geometry experiments.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -680,10 +679,11 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "n_lights",
-                                              "interpret", "w", "gated"))
+                                              "interpret", "w", "gated",
+                                              "tc_req"))
 def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
                  n_lights: int, interpret: bool = False, w: int = LANES,
-                 gated: bool = False):
+                 gated: bool = False, tc_req: int = 0):
     """rays8 [8, N]; u8d [8*depth, N]; planesT [Fp, 12]; shadeT [32, Fp];
     boxes [8, n_chunks]; lights [max(L,1), 16]. Returns [16, N] packed
     rows (see kernel). w = rays per grid block (lane width of every
@@ -692,7 +692,7 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
     in-kernel transients."""
     n = rays8.shape[1]
     fp = planesT.shape[0]
-    tc = int(os.environ.get("TPT_MEGA_TC", 0)) or _pick_tc(fp)
+    tc = tc_req or _pick_tc(fp)
     if fp % tc:
         tc = _pick_tc(fp)
     grid = (n // w,)
@@ -733,7 +733,7 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
     return out
 
 
-def _scene_blocks(data, woop):
+def _scene_blocks(data, woop, tc_req: int = 0):
     """Morton-slot-indexed fused table [32, Fp] + planes [Fp, 12] +
     per-chunk gate AABBs [8, Fp/tc] (rows 0-2 bmin, 3-5 bmax, 6 valid)."""
     fp = woop.n_padded
@@ -751,7 +751,7 @@ def _scene_blocks(data, woop):
 
     # gate boxes at triangle-chunk granularity, morton order; padding
     # faces contribute inverted boxes, all-padding chunks get valid=0
-    tc = int(os.environ.get("TPT_MEGA_TC", 0)) or _pick_tc(fp)
+    tc = tc_req or _pick_tc(fp)
     if fp % tc:
         tc = _pick_tc(fp)
     tv = data.tri_verts[woop.perm]                           # [Fp, 3, 3]
@@ -799,12 +799,8 @@ def mega_available(data, cfg, woop=None) -> bool:
     return True
 
 
-def _use_mega() -> str:
-    return os.environ.get("TPT_MEGA_IMPL", "auto")
-
-
 def mega_enabled(data, cfg, woop=None) -> bool:
-    impl = _use_mega()
+    impl = getattr(cfg, "mega_impl", "auto")
     if impl == "off" or not getattr(cfg, "megakernel", True):
         return False
     if not mega_available(data, cfg, woop):
@@ -830,7 +826,7 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
 
     n = origins.shape[0]
     d_depth = cfg.max_depth
-    interpret = _use_mega() == "interpret"
+    interpret = getattr(cfg, "mega_impl", "auto") == "interpret"
 
     def primal(data_, origins_, dirs_, keys_):
         # exact modular RNG streams, one padded [8, N] band per bounce
@@ -848,13 +844,14 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
 
         sg = jax.tree_util.tree_map(lax.stop_gradient, data_)
         woop_ = precompute_woop(sg.tri_verts)
-        planesT, shadeT, boxes = _scene_blocks(sg, woop_)
+        tc_req = getattr(cfg, "mega_tc", 0)
+        planesT, shadeT, boxes = _scene_blocks(sg, woop_, tc_req)
         lights = _lights_block(sg)
-        gated = os.environ.get("TPT_MEGA_GATE", "off") == "on"
+        gated = getattr(cfg, "mega_gate", "off") == "on"
         # measured on v5e (BASELINE.md): W=128 -> 2.14M rays/s,
         # W=256 -> 2.54M, W=512 -> 2.57M on the box bench; 256 is the
         # default (512 is ~1% faster but doubles in-kernel transients)
-        w = int(os.environ.get("TPT_MEGA_W", 256))
+        w = getattr(cfg, "mega_w", 256)
         pad = (-n) % w
         o = jnp.pad(origins_, ((0, pad), (0, 0)))
         dd = jnp.pad(dirs_, ((0, pad), (0, 0)),
@@ -867,7 +864,8 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
         out = _mega_pallas(rays8, u_p, planesT, shadeT, boxes, lights,
                            depth=d_depth,
                            n_lights=int(data_.light_kind.shape[0]),
-                           interpret=interpret, w=w, gated=gated)
+                           interpret=interpret, w=w, gated=gated,
+                           tc_req=tc_req)
         rad = out[0:3, :n]                                   # [3, N]
         mthr = out[3:6, :n]
         mdx, mdy, mdz = out[6, :n], out[7, :n], out[8, :n]

@@ -426,6 +426,13 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
                 off_t = jnp.asarray(offs, jnp.int32)
                 duv = data.face_duv[jnp.maximum(fid, 0)]
                 px_angle = data.cam_spread / cfg.height
+                # Primary-ray footprint approximation: uses this
+                # bounce's hit distance t and the camera pixel angle
+                # even on secondary bounces, underestimating the ray
+                # spread after diffuse scattering (over-sharp indirect
+                # lookups). Accumulating path distance in the carry
+                # would fix it; kept simple since "bilinear" is already
+                # a beyond-parity extension (ADVICE r4).
                 texels_px = lax.stop_gradient(t) * px_angle * duv * th
                 lodf = jnp.log2(jnp.maximum(texels_px, 1e-20))
                 lvl = jnp.clip(jnp.floor(lodf).astype(jnp.int32),
