@@ -35,7 +35,10 @@ class RenderConfig:
     # transforms -- a Pallas kernel on TPU, the fastest path for the
     # scene sizes the reference ships (ops/dense.py); "bruteforce" is
     # the plain Moller-Trumbore oracle; "bvh" the binary LBVH +
-    # lockstep traversal; "wbvh" the host-collapsed 8-ary wide BVH.
+    # lockstep traversal; "wbvh" the host-collapsed 8-ary wide BVH;
+    # "packet" the 8-ray-packet near-to-far chunk traversal
+    # (ops/packet.py) -- sublinear per-query work, the large-scene
+    # fast path.
     intersector: str = "dense"
     # (pixel, sample) lanes are flattened and processed in dispatch
     # chunks of up to this many rays: large chunks amortize per-bounce
@@ -104,7 +107,8 @@ class RenderConfig:
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.intersector not in ("dense", "bruteforce", "bvh", "wbvh"):
+        if self.intersector not in ("dense", "bruteforce", "bvh", "wbvh",
+                                    "packet"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.bvh_source not in ("device", "host"):
             raise ValueError(f"unknown bvh_source {self.bvh_source!r}")

@@ -69,6 +69,10 @@ def prepare_state(scene: FlatScene, cfg: RenderConfig,
         from tinypathtracer_tpu.ops.dense import precompute_woop
 
         bvh = precompute_woop(data.tri_verts)
+    elif cfg.intersector == "packet":
+        from tinypathtracer_tpu.ops.packet import precompute_packet
+
+        bvh = precompute_packet(data.tri_verts)
     elif prebuilt_bvh is not None:
         # host-built nodes (or any precomputed tree); re-point tri_verts
         # at this frame's device geometry so shading stays differentiable
@@ -133,6 +137,10 @@ def _hit_fn(state: PipelineState, cfg: RenderConfig):
         from tinypathtracer_tpu.ops.dense import closest_hit_dense
 
         return functools.partial(closest_hit_dense, woop=state.bvh)
+    if cfg.intersector == "packet":
+        from tinypathtracer_tpu.ops.packet import closest_hit_packet
+
+        return functools.partial(closest_hit_packet, pk=state.bvh)
     if cfg.intersector == "bvh":
         return functools.partial(closest_hit_bvh, bvh=state.bvh,
                                  stack_depth=cfg.stack_depth)
