@@ -110,6 +110,58 @@ def test_mega_gradients_replay_modular():
                                rtol=1e-5, atol=1e-8)
 
 
+def test_mega_gradients_stored_matches_replay():
+    """mega_bwd='stored' (shading-only replay on recorded hit residuals,
+    zero intersection dispatches in the backward) must produce the same
+    gradients as mega_bwd='replay' (full modular re-trace). Uses a
+    delta-light scene so the occlusion bitmask path is exercised."""
+    flat = _flat("ball")
+    cfg = RenderConfig(width=10, height=10, spp=2, max_depth=3,
+                       intersector="dense", mega_impl="interpret")
+    key = jax.random.PRNGKey(9)
+    tgt = jnp.zeros((10, 10, 3), jnp.float32)
+
+    def loss(albedo, cfg_):
+        f = dataclasses.replace(flat, mtl_base_color=albedo)
+        img = render_frame(f, cfg_, key)
+        return jnp.mean((img - tgt) ** 2)
+
+    l_s, g_s = jax.value_and_grad(loss)(
+        flat.mtl_base_color, dataclasses.replace(cfg, mega_bwd="stored"))
+    l_r, g_r = jax.value_and_grad(loss)(
+        flat.mtl_base_color, dataclasses.replace(cfg, mega_bwd="replay"))
+    np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_mega_stored_emission_env_grads():
+    """Stored-hit backward vs the all-modular pipeline on emission and
+    env-texel gradients (covers the extra-direct residual fid2 -> face
+    emission path and the env epilogue): exact on the light-free box."""
+    flat = _flat("box")
+    cfg = RenderConfig(width=10, height=10, spp=2, max_depth=3,
+                       intersector="dense")
+    key = jax.random.PRNGKey(4)
+    tgt = jnp.zeros((10, 10, 3), jnp.float32)
+
+    def loss(em, env, cfg_):
+        f = dataclasses.replace(flat, mtl_emission=em, env_radiance=env)
+        img = render_frame(f, cfg_, key)
+        return jnp.mean((img - tgt) ** 2)
+
+    grad = jax.grad(loss, argnums=(0, 1))
+    ge_s, gv_s = grad(flat.mtl_emission, flat.env_radiance,
+                      dataclasses.replace(cfg, mega_impl="interpret",
+                                          mega_bwd="stored"))
+    ge_m, gv_m = grad(flat.mtl_emission, flat.env_radiance,
+                      dataclasses.replace(cfg, megakernel=False))
+    np.testing.assert_allclose(np.asarray(ge_s), np.asarray(ge_m),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_m),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_mega_fallbacks():
     """Static compatibility gates: physical mode and textured scenes
     must NOT take the megakernel path."""

@@ -103,6 +103,15 @@ class RenderConfig:
         default_factory=lambda: int(os.environ.get("TPT_MEGA_TC", "0")))
     mega_gate: str = dataclasses.field(
         default_factory=lambda: os.environ.get("TPT_MEGA_GATE", "off"))
+    #   mega_bwd:  "stored" (default) -- the megakernel forward records
+    #              per-bounce hit residuals and the backward replays
+    #              shading math only, zero intersection dispatches;
+    #              "replay" -- round-4 behavior, backward re-traces
+    #              through the modular dense pipeline. Gradients are
+    #              identical (the residuals are bit-identical to the
+    #              dense intersector's reports; tests/test_mega.py).
+    mega_bwd: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPT_MEGA_BWD", "stored"))
 
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
@@ -118,6 +127,8 @@ class RenderConfig:
             raise ValueError(f"unknown mega_impl {self.mega_impl!r}")
         if self.mega_gate not in ("off", "on", "auto"):
             raise ValueError(f"unknown mega_gate {self.mega_gate!r}")
+        if self.mega_bwd not in ("stored", "replay"):
+            raise ValueError(f"unknown mega_bwd {self.mega_bwd!r}")
 
     @property
     def n_pixels(self) -> int:

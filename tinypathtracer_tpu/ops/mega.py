@@ -220,7 +220,8 @@ def _sample_bsdf3(u1, u2, u3, dx, dy, dz, nx, ny, nz, eta, metallic):
 # --------------------------------------------------------------------------
 
 def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
-                      w: int = LANES, gated: bool = False):
+                      w: int = LANES, gated: bool = False,
+                      save_hits: bool = False):
     n_chunks = fp // tc
 
     def make_multi_query(planes_ref, boxes_ref, qt, qi):
@@ -450,7 +451,12 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
     _MR, _MG, _MB, _ALIVE, _T = 12, 13, 14, 15, 16
 
     def kernel(rays_ref, u_ref, planes_ref, shadeT_ref, boxes_ref,
-               lights_ref, out_ref, st, sti, qt, qi, fbuf):
+               lights_ref, out_ref, *rest):
+        if save_hits:
+            hits_ref, st, sti, qt, qi, fbuf = rest
+        else:
+            hits_ref = None
+            st, sti, qt, qi, fbuf = rest
         r = rays_ref[:]                                     # [8, 128]
         ox, oy, oz = r[0:1], r[1:2], r[2:3]
         dx, dy, dz = r[4:5], r[5:6], r[6:7]
@@ -508,6 +514,13 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
         st[_T + 1:24, :] = jnp.zeros((24 - _T - 1, w), jnp.float32)
         sti[0:1, :] = slot0
         sti[1:8, :] = jnp.zeros((7, w), jnp.int32)
+        if save_hits:
+            # Bounces the early exit never reaches must read back as
+            # "dead lane / miss" for the shading-only replay: slot rows
+            # (row % 8 == 0) init to -1, t rows (== 1) to REAL_MAX.
+            rowi = lax.broadcasted_iota(jnp.int32, (depth * 8, w), 0) % 8
+            hits_ref[:] = jnp.where(
+                rowi == 0, -1.0, jnp.where(rowi == 1, REAL_MAX, 0.0))
 
         def cond(c):
             dep, alive_any = c
@@ -648,6 +661,27 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
             rg = rg + jnp.where(live, tg * wg * dg, 0.0)
             rb = rb + jnp.where(live, tb * wb * db, 0.0)
 
+            if save_hits:
+                # Per-bounce hit residuals for the shading-only replay
+                # backward (trace_paths_mega): masked exactly as the
+                # modular pipeline's intersector calls would report
+                # (mask=False -> fid -1 / t REAL_MAX / uv 0), so the
+                # replay from these rows is bit-identical to the dense
+                # replay.
+                hitm = alive & ~miss
+                slot_row = jnp.where(alive, slot, -1).astype(jnp.float32)
+                t_row = jnp.where(hitm, tw, REAL_MAX)
+                u_row = jnp.where(hitm, uw, 0.0)
+                v_row = jnp.where(hitm, vw, 0.0)
+                s2_row = jnp.where(live & do_extra & (slot2 >= 0),
+                                   slot2, -1).astype(jnp.float32)
+                occm = zeros
+                for li in range(n_lights):
+                    occm = occm + res[2 + li] * float(1 << li)
+                hits_ref[pl.ds(dep * 8, 8), :] = jnp.concatenate(
+                    [slot_row, t_row, u_row, v_row, s2_row, occm,
+                     jnp.zeros((2, w), jnp.float32)], axis=0)
+
             st[_TR:_TR + 1, :] = jnp.where(live, tr * wr, tr)
             st[_TG:_TG + 1, :] = jnp.where(live, tg * wg, tg)
             st[_TB:_TB + 1, :] = jnp.where(live, tb * wb, tb)
@@ -680,13 +714,16 @@ def _make_mega_kernel(fp: int, tc: int, depth: int, n_lights: int,
 
 @functools.partial(jax.jit, static_argnames=("depth", "n_lights",
                                               "interpret", "w", "gated",
-                                              "tc_req"))
+                                              "tc_req", "save_hits"))
 def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
                  n_lights: int, interpret: bool = False, w: int = LANES,
-                 gated: bool = False, tc_req: int = 0):
+                 gated: bool = False, tc_req: int = 0,
+                 save_hits: bool = False):
     """rays8 [8, N]; u8d [8*depth, N]; planesT [Fp, 12]; shadeT [32, Fp];
     boxes [8, n_chunks]; lights [max(L,1), 16]. Returns [16, N] packed
-    rows (see kernel). w = rays per grid block (lane width of every
+    rows (see kernel), plus -- when save_hits -- an [8*depth, N] f32
+    per-bounce hit-residual block (rows per bounce: slot, t, u, v,
+    slot2, occmask, 0, 0). w = rays per grid block (lane width of every
     per-lane tile): wider blocks amortize the per-chunk plane-
     coefficient broadcasts over more rays at the cost of larger
     in-kernel transients."""
@@ -696,8 +733,17 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
     if fp % tc:
         tc = _pick_tc(fp)
     grid = (n // w,)
+    out_specs = [pl.BlockSpec((16, w), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((16, n), jnp.float32)]
+    if save_hits:
+        out_specs.append(pl.BlockSpec((8 * depth, w), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((8 * depth, n), jnp.float32))
     out = pl.pallas_call(
-        _make_mega_kernel(fp, tc, depth, n_lights, w, gated),
+        _make_mega_kernel(fp, tc, depth, n_lights, w, gated,
+                          save_hits=save_hits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, w), lambda i: (0, i),
@@ -713,9 +759,8 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
             pl.BlockSpec(lights.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((16, w), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, n), jnp.float32),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((24, w), jnp.float32),       # per-lane f32 state
             pltpu.VMEM((8, w), jnp.int32),          # per-lane hit slot
@@ -730,7 +775,7 @@ def _mega_pallas(rays8, u8d, planesT, shadeT, boxes, lights, depth: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(rays8, u8d, planesT, shadeT, boxes, lights)
-    return out
+    return out if save_hits else out[0]
 
 
 def _scene_blocks(data, woop, tc_req: int = 0):
@@ -811,7 +856,8 @@ def mega_enabled(data, cfg, woop=None) -> bool:
 
 
 def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
-    """Megakernel trace with modular-replay gradients.
+    """Megakernel trace with stored-hit (default) or modular-replay
+    gradients.
 
     Signature mirrors integrator.trace_paths minus the hit fn: both the
     primal's tables and the backward replay's dense intersector are
@@ -819,16 +865,28 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
     ever captured by closure (a hit fn passed in would close over the
     caller's traced woop arrays, which breaks under jax.custom_vjp when
     the whole scene is differentiated, e.g. diff/invrender).
+
+    cfg.mega_bwd selects the backward:
+      "stored" (default): the forward kernel also records per-bounce
+        hit residuals (slot, t, u, v, extra-direct slot, light-occlusion
+        bits); the backward replays ONLY the shading math on them
+        (integrator.trace_paths with stored_hits) -- zero intersection
+        dispatches in the whole train step. The residuals are
+        bit-identical to what the dense intersector would report, so
+        gradients equal the full replay's exactly.
+      "replay": round-4 behavior -- the backward re-traces everything
+        through the modular pipeline's dense intersector.
     """
     from tinypathtracer_tpu.ops.sampling import fold_all, lane_uniform
     from tinypathtracer_tpu.ops.shading_c import env_texel_c
-    from tinypathtracer_tpu.render.integrator import trace_paths
+    from tinypathtracer_tpu.render.integrator import _gather_1d, trace_paths
 
     n = origins.shape[0]
     d_depth = cfg.max_depth
     interpret = getattr(cfg, "mega_impl", "auto") == "interpret"
+    bwd_mode = getattr(cfg, "mega_bwd", "stored")
 
-    def primal(data_, origins_, dirs_, keys_):
+    def primal(data_, origins_, dirs_, keys_, save_hits=False):
         # exact modular RNG streams, one padded [8, N] band per bounce
         bands = []
         for dep in range(d_depth):
@@ -861,38 +919,62 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
             [o.T, jnp.zeros((1, n + pad), jnp.float32),
              dd.T, jnp.zeros((1, n + pad), jnp.float32)], axis=0)
         u_p = jnp.pad(u8d, ((0, 0), (0, pad))) if pad else u8d
-        out = _mega_pallas(rays8, u_p, planesT, shadeT, boxes, lights,
+        res = _mega_pallas(rays8, u_p, planesT, shadeT, boxes, lights,
                            depth=d_depth,
                            n_lights=int(data_.light_kind.shape[0]),
                            interpret=interpret, w=w, gated=gated,
-                           tc_req=tc_req)
+                           tc_req=tc_req, save_hits=save_hits)
+        out = res[0] if save_hits else res
         rad = out[0:3, :n]                                   # [3, N]
         mthr = out[3:6, :n]
         mdx, mdy, mdz = out[6, :n], out[7, :n], out[8, :n]
         eh, ew = data_.env_radiance.shape[0], data_.env_radiance.shape[1]
         etex = env_texel_c(eh, ew, mdx, mdy, mdz)
-        er = data_.env_r[etex] * cfg.env_scale
-        eg = data_.env_g[etex] * cfg.env_scale
-        eb = data_.env_b[etex] * cfg.env_scale
+        er = _gather_1d(data_.env_r, etex) * cfg.env_scale
+        eg = _gather_1d(data_.env_g, etex) * cfg.env_scale
+        eb = _gather_1d(data_.env_b, etex) * cfg.env_scale
         rr = rad[0] + mthr[0] * er
         rg = rad[1] + mthr[1] * eg
         rb = rad[2] + mthr[2] * eb
-        return jnp.stack([rr, rg, rb], axis=1)
+        rad3 = jnp.stack([rr, rg, rb], axis=1)
+        if not save_hits:
+            return rad3
+        # Unpack the per-bounce hit residuals into the stored_hits
+        # layout of integrator.trace_paths (morton slots -> original
+        # face ids via the woop permutation, matching
+        # closest_hit_dense's return convention).
+        hr = lax.stop_gradient(res[1][:, :n]).reshape(d_depth, 8, n)
+        slot = hr[:, 0].astype(jnp.int32)
+        fid = jnp.where(slot >= 0, woop_.perm[jnp.maximum(slot, 0)], -1)
+        t = hr[:, 1]
+        uv = jnp.stack([hr[:, 2], hr[:, 3]], axis=-1)        # [D, N, 2]
+        slot2 = hr[:, 4].astype(jnp.int32)
+        fid2 = jnp.where(slot2 >= 0,
+                         woop_.perm[jnp.maximum(slot2, 0)], -1)
+        occ = hr[:, 5].astype(jnp.int32)
+        return rad3, (fid, t, uv, fid2, occ)
 
     @jax.custom_vjp
     def f(data_, origins_, dirs_, keys_):
         return primal(data_, origins_, dirs_, keys_)
 
     def fwd(data_, origins_, dirs_, keys_):
+        if bwd_mode == "stored":
+            out, hits = primal(data_, origins_, dirs_, keys_,
+                               save_hits=True)
+            return out, (data_, origins_, dirs_, keys_, hits)
         return (primal(data_, origins_, dirs_, keys_),
-                (data_, origins_, dirs_, keys_))
+                (data_, origins_, dirs_, keys_, None))
 
     def bwd(res, ct):
-        data_, origins_, dirs_, keys_ = res
+        data_, origins_, dirs_, keys_, hits = res
         from tinypathtracer_tpu.ops.dense import (closest_hit_dense,
                                                   precompute_woop)
 
         def replay(dd, oo, di):
+            if hits is not None:
+                return trace_paths(dd, cfg, None, oo, di, keys_,
+                                   stored_hits=hits)
             woop_ = precompute_woop(lax.stop_gradient(dd.tri_verts))
             hit = functools.partial(closest_hit_dense, woop=woop_)
             return trace_paths(dd, cfg, hit, oo, di, keys_)

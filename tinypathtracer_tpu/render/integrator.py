@@ -243,6 +243,37 @@ def fetch_cols(tableT, idx):
 
 
 @jax.custom_vjp
+def _gather_1d(table, idx):
+    """table[idx] for a 1-D table, with a MATMUL gradient: the plain
+    gather's VJP is an XLA scatter-add, which runs element-at-a-time on
+    this backend (~1 G elem/s -- it dominated the stored-hit backward
+    pass, taking it from the megakernel's 2.5M rays/s to <1M). The
+    one-hot transpose-dot form keeps the backward on the MXU. Forward
+    stays the cheap gather (reads are fast; only scattered WRITES are
+    slow)."""
+    return table[idx]
+
+
+def _gather_1d_fwd(table, idx):
+    return table[idx], (table.shape[0], idx)
+
+
+def _gather_1d_bwd(res, ct):
+    f, idx = res
+    if f > 16384:
+        gt = jnp.zeros((f,), ct.dtype).at[idx].add(ct)
+    else:
+        oh = (jnp.arange(f, dtype=idx.dtype)[None, :]
+              == idx[:, None]).astype(ct.dtype)          # [N, F]
+        gt = jnp.dot(ct[None, :], oh,
+                     precision=lax.Precision.HIGHEST)[0]
+    return gt, None
+
+
+_gather_1d.defvjp(_gather_1d_fwd, _gather_1d_bwd)
+
+
+@jax.custom_vjp
 def _hit_surface(o, d, tri_verts, fid, t_k, u_k, v_k):
     """Forward the intersector's own (t, u, v) as primal hit data;
     route gradients through a Moller-Trumbore recompute that runs ONLY
@@ -259,8 +290,22 @@ def _hit_surface_fwd(o, d, tri_verts, fid, t_k, u_k, v_k):
 
 def _hit_surface_bwd(res, cts):
     o, d, tri_verts, fid = res
-    tv = tri_verts[jnp.maximum(fid, 0)]
+    f_count = tri_verts.shape[0]
+    fid_c = jnp.maximum(fid, 0)
     live = (fid >= 0)
+    # Small scenes fetch the hit triangles AND scatter their gradients
+    # back via one-hot matmuls on the MXU (exact in HIGHEST precision):
+    # the XLA gather/scatter pair runs element-at-a-time on this backend
+    # and dominated the stored-hit backward pass.
+    small = f_count <= 8192
+    if small:
+        oh = (jnp.arange(f_count, dtype=fid.dtype)[:, None]
+              == fid_c[None, :]).astype(jnp.float32)      # [F, N]
+        tv = jnp.dot(tri_verts.reshape(f_count, 9).T, oh,
+                     precision=lax.Precision.HIGHEST)     # [9, N]
+        tv = tv.T.reshape(-1, 3, 3)
+    else:
+        tv = tri_verts[fid_c]
 
     def f(o_, d_, tv_):
         t, u, v, _ok = _ray_tri_single(o_, d_, tv_[:, 0], tv_[:, 1],
@@ -272,8 +317,13 @@ def _hit_surface_bwd(res, cts):
     # degenerate recompute (t against face 0 is garbage there)
     cts = tuple(jnp.where(live, c, 0.0) for c in cts)
     go, gd, gtv = vjp(cts)
-    gtv_full = jnp.zeros_like(tri_verts).at[jnp.maximum(fid, 0)].add(
-        jnp.where(live[:, None, None], gtv, 0.0))
+    gtv = jnp.where(live[:, None, None], gtv, 0.0)
+    if small:
+        gtv_full = jnp.dot(gtv.reshape(-1, 9).T, oh.T,
+                           precision=lax.Precision.HIGHEST)
+        gtv_full = gtv_full.T.reshape(f_count, 3, 3)
+    else:
+        gtv_full = jnp.zeros_like(tri_verts).at[fid_c].add(gtv)
     zero = jnp.zeros_like(cts[0])
     return (go, gd, gtv_full, None, zero, zero, zero)
 
@@ -282,13 +332,15 @@ _hit_surface.defvjp(_hit_surface_fwd, _hit_surface_bwd)
 
 
 def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
-                  any_hit: HitFn, live):
+                  any_hit: HitFn, live, occ_bits=None):
     """Delta-light NEE (reference sampleDeltaLights, path_tracer.cu:265-286).
 
     One shadow ray per light per lane; the light count is static so the
     loop unrolls into L independent masked occlusion queries. Only
     `live` lanes trace (dead lanes' contributions are discarded by the
-    caller's mask anyway).
+    caller's mask anyway). occ_bits [N] i32 (bit li = light li occluded)
+    replaces the occlusion queries entirely when the caller already
+    traced them (the megakernel's stored-hit replay).
     """
     n = hit_pos.shape[0]
     direct = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -298,18 +350,21 @@ def _direct_light(data: TraceData, cfg: RenderConfig, hit_pos, base_color,
             hit_pos, data.light_kind[li], data.light_color[li],
             data.light_intensity[li], data.light_pos[li], data.light_dir[li],
             data.light_cos_outer[li], data.light_inv_cone[li])
-        # Occlusion is purely combinatorial: detach it from autodiff so
-        # while_loop-based backends never see tangents.
-        fid, _t, _uv = any_hit(lax.stop_gradient(hit_pos),
-                               lax.stop_gradient(wi), mask=live)
-        unoccluded = fid < 0
+        if occ_bits is None:
+            # Occlusion is purely combinatorial: detach it from autodiff
+            # so while_loop-based backends never see tangents.
+            fid, _t, _uv = any_hit(lax.stop_gradient(hit_pos),
+                                   lax.stop_gradient(wi), mask=live)
+            unoccluded = fid < 0
+        else:
+            unoccluded = ((occ_bits >> li) & 1) == 0
         contrib = base_color * lrad
         direct = direct + jnp.where(unoccluded[:, None], contrib, 0.0)
     return direct
 
 
 def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
-                origins, dirs, lane_keys):
+                origins, dirs, lane_keys, stored_hits=None):
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     lane_keys: [N] PRNG key array, one per ray lane (the renderer folds
@@ -319,8 +374,19 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
 
     One scan step == one bounce for ALL rays (dead lanes are masked,
     wavefront compaction comes in at the traversal layer where it pays).
+
+    stored_hits (reference mode only): per-bounce hit residuals
+    (fid [D, N] i32, t [D, N], uv [D, N, 2], fid2 [D, N] i32,
+    occ [D, N] i32 light-occlusion bitmask) recorded by a previous
+    identical trace (the megakernel forward). When given, NO intersector
+    is ever dispatched -- the bounce loop replays shading math on the
+    recorded hits (closest_hit may be None). This is the backward pass
+    of trace_paths_mega: bit-identical data, so gradients match the full
+    replay exactly while skipping the ~57%-of-frame intersection work.
     """
     n = origins.shape[0]
+    if stored_hits is not None and cfg.mode != "reference":
+        raise ValueError("stored_hits replay supports reference mode only")
 
     def hit_query(o, d, mask):
         """Closest hit with the discrete traversal fully detached from
@@ -340,7 +406,12 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     # broadcasts relayout at ~1 G elem/s on this backend (one
     # hemisphere sample measured 53 ms/bounce at 1M rays); in component
     # form the same math is <2 ms. See ops/shading_c.py.
-    def bounce(state, depth):
+    def bounce(state, xs):
+        if stored_hits is None:
+            depth = xs
+            sh_fid = sh_t = sh_uv = sh_fid2 = sh_occ = None
+        else:
+            depth, sh_fid, sh_t, sh_uv, sh_fid2, sh_occ = xs
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
          alive, prev_spec, prev_pdf) = state
         # One uniform block per bounce from per-lane keys: cols 0-1 BSDF
@@ -353,7 +424,10 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
 
         o3 = jnp.stack([ox, oy, oz], axis=1)
         d3 = jnp.stack([dx, dy, dz], axis=1)
-        fid, t_k, uv_k = hit_query(o3, d3, alive)
+        if stored_hits is None:
+            fid, t_k, uv_k = hit_query(o3, d3, alive)
+        else:
+            fid, t_k, uv_k = sh_fid, sh_t, sh_uv
         miss = fid < 0
 
         # Terminal: environment on miss (path_tracer.cu:358-362). In
@@ -364,9 +438,12 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
         etex = shading_c.env_texel_c(eh, ew, dx, dy, dz)
         count_env = (alive & miss) if cfg.mode == "reference" \
             else (alive & miss & prev_spec)
-        er = jnp.where(count_env, data.env_r[etex] * cfg.env_scale, 0.0)
-        eg = jnp.where(count_env, data.env_g[etex] * cfg.env_scale, 0.0)
-        eb = jnp.where(count_env, data.env_b[etex] * cfg.env_scale, 0.0)
+        er = jnp.where(count_env,
+                       _gather_1d(data.env_r, etex) * cfg.env_scale, 0.0)
+        eg = jnp.where(count_env,
+                       _gather_1d(data.env_g, etex) * cfg.env_scale, 0.0)
+        eb = jnp.where(count_env,
+                       _gather_1d(data.env_b, etex) * cfg.env_scale, 0.0)
         rr = rr + tr * er
         rg = rg + tg * eg
         rb = rb + tb * eb
@@ -536,18 +613,21 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
             d2x, d2y, d2z, _pdf2 = shading_c.hemisphere_cosine_c(
                 u[:, 3], u[:, 4], nx * sgn, ny * sgn, nz * sgn)
             h3 = jnp.stack([hx, hy, hz], axis=1)
-            d23 = jnp.stack([d2x, d2y, d2z], axis=1)
-            fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(h3),
-                                          lax.stop_gradient(d23),
-                                          mask=live & do_extra)
-            em2 = data.face_emission[jnp.maximum(fid2, 0)]
+            if stored_hits is None:
+                d23 = jnp.stack([d2x, d2y, d2z], axis=1)
+                fid2, _t2, _uv2 = closest_hit(lax.stop_gradient(h3),
+                                              lax.stop_gradient(d23),
+                                              mask=live & do_extra)
+            else:
+                fid2 = sh_fid2
+            em2 = _gather_1d(data.face_emission, jnp.maximum(fid2, 0))
             em2 = jnp.where((fid2 >= 0) & do_extra, em2, 0.0)
             dr = dg = db = em2
             # Delta-light NEE (quirk: no cos / BRDF weighting)
             if data.light_kind.shape[0] > 0:
                 b3 = jnp.stack([br, bg_, bb], axis=1)
                 direct3 = _direct_light(data, cfg, h3, b3, closest_hit,
-                                        live)
+                                        live, occ_bits=sh_occ)
                 dr = dr + direct3[:, 0]
                 dg = dg + direct3[:, 1]
                 db = db + direct3[:, 2]
@@ -704,7 +784,10 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     # With checkpointing only the [N]-sized carries persist; the bounce
     # recomputes from them during backward (path-replay: identical
     # randomness by key, so the replay is exact).
-    out, _ = lax.scan(jax.checkpoint(bounce), init,
-                      jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    xs = jnp.arange(cfg.max_depth, dtype=jnp.int32)
+    if stored_hits is not None:
+        xs = (xs,) + tuple(jax.tree_util.tree_map(lax.stop_gradient,
+                                                  stored_hits))
+    out, _ = lax.scan(jax.checkpoint(bounce), init, xs)
     rr, rg, rb = out[9], out[10], out[11]
     return jnp.stack([rr, rg, rb], axis=1)
