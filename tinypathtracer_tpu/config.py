@@ -103,6 +103,25 @@ class RenderConfig:
         default_factory=lambda: int(os.environ.get("TPT_MEGA_TC", "0")))
     mega_gate: str = dataclasses.field(
         default_factory=lambda: os.environ.get("TPT_MEGA_GATE", "off"))
+    # Packet-traversal tuning knobs (ops/packet.py; production fields
+    # for the same stale-compile reason as the mega knobs). Defaults
+    # are the measured optimum on the 61k-face stress scene
+    # (BASELINE.md round-5 sweep): 512-triangle chunks, 8-ray packets,
+    # 1 visit per select, 16 packet walks interleaved per while_loop.
+    #   packet_tc: triangles per traversal chunk (multiple of 128)
+    #   packet_w:  rays per packet (sublane group)
+    #   packet_k:  chunk visits per select round
+    #   packet_g:  packets interleaved per while_loop (their serial
+    #              select->fetch chains overlap; compile time grows
+    #              with packet_g * (packet_tc/128))
+    packet_tc: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_PACKET_TC", "512")))
+    packet_w: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_PACKET_W", "8")))
+    packet_k: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_PACKET_K", "1")))
+    packet_g: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPT_PACKET_G", "16")))
     #   mega_bwd:  "stored" (default) -- the megakernel forward records
     #              per-bounce hit residuals and the backward replays
     #              shading math only, zero intersection dispatches;

@@ -101,7 +101,7 @@ class PacketTris:
         return self.planes.shape[0] // _ROWS_PER_CHUNK // self.sub
 
 
-def precompute_packet(tri_verts, tc: int = CHUNK) -> PacketTris:
+def precompute_packet(tri_verts, tc: int = 512) -> PacketTris:
     """[F, 3, 3] world triangles -> PacketTris (morton order shared with
     the dense kernel so hits are bit-identical across intersectors).
 
@@ -156,15 +156,18 @@ _ID_BITS_MASK = 2047          # supports up to 2048 chunks = 262k faces
 
 
 def _make_packet_kernel(n_chunks: int, cp: int, tn: int, packet: int,
-                        kvisit: int, sub: int = 1):
-    """Kernel v2 (see tools/lab5_diag.py for the v1 autopsy): the
-    per-packet box test (310 ns/packet) and epilogue (170 ns) are
-    vectorized over the whole [TN, Cp] block (70 ns TOTAL), and each
-    while_loop round selects + visits KVISIT chunks so the serial
-    reduce->scalar->dynamic-fetch latency chain (~360 ns/visit in v1)
-    amortizes over kvisit independent triangle tests. Each visit sweeps
-    `sub` consecutive 128-triangle sub-tiles (tc = sub*128) after ONE
-    dynamic fetch -- the other overhead-amortization axis."""
+                        kvisit: int, sub: int = 1, group: int = 1):
+    """Kernel v3. v2 (see tools/lab5_diag.py for the v1 autopsy)
+    vectorized the box test + epilogue over the whole [TN, Cp] block and
+    batched KVISIT chunk visits per while_loop round; it plateaued at
+    ~1.6 Mrays/s on the 61k-face scene because each packet's walk is a
+    SERIAL reduce->scalar->dynamic-fetch latency chain and the VPU sits
+    idle between chain steps. v3 interleaves GROUP packets' walks in ONE
+    while_loop: each round selects + visits for `group` independent
+    packets, so their chain latencies overlap (software pipelining
+    across packets). Spent packets skip their visit work via a scalar
+    pl.when (the group runs until its slowest member finishes; the
+    skipped visits cost only the branch)."""
     n_packets = tn // packet
 
     def kernel(rays_ref, planes_ref, boxes_ref, t_ref, fid_ref, uv_ref,
@@ -207,21 +210,27 @@ def _make_packet_kernel(n_chunks: int, cp: int, tn: int, packet: int,
         s_lu[:] = jnp.zeros((tn, CHUNK), jnp.float32)
         s_lv[:] = jnp.zeros((tn, CHUNK), jnp.float32)
 
-        # ---- phase 2: per-packet near-to-far walks ----
-        def packet_body(p, _):
-            row0 = pl.multiple_of(p * packet, packet)
-            rows = pl.ds(row0, packet)
-            rp = rays_ref[rows, :]
-            oxp, oyp, ozp = rp[:, 0:1], rp[:, 1:2], rp[:, 2:3]
-            dxp, dyp, dzp = rp[:, 3:4], rp[:, 4:5], rp[:, 5:6]
+        # ---- phase 2: interleaved near-to-far packet walks ----
+        def rows_of(pg, g):
+            row0 = pl.multiple_of((pg * group + g) * packet, packet)
+            return pl.ds(row0, packet)
 
-            def select():
-                """kvisit nearest still-needed chunks, one int min each.
+        def group_body(pg, _):
+            rays_g = []
+            for g in range(group):
+                rp = rays_ref[rows_of(pg, g), :]
+                rays_g.append((rp[:, 0:1], rp[:, 1:2], rp[:, 2:3],
+                               rp[:, 3:4], rp[:, 4:5], rp[:, 5:6]))
+
+            def select(g):
+                """kvisit nearest still-needed chunks of packet g, one
+                int min each.
 
                 <= against the per-ray best (via |MASK on its key) keeps
                 chunks whose truncated entry distance equals the best:
                 they can hold an equal-t lower-slot winner (tie rule).
                 """
+                rows = rows_of(pg, g)
                 pbest = jnp.min(s_lt[rows, :], axis=1, keepdims=True)
                 ibt = pltpu.bitcast(pbest, jnp.int32) | _ID_BITS_MASK
                 cand = s_key[rows, :]
@@ -234,14 +243,13 @@ def _make_packet_kernel(n_chunks: int, cp: int, tn: int, packet: int,
                         cand = jnp.where(cand == m, _I32_MAX, cand)
                 return tuple(ms)
 
-            def do_visit(ck):
+            def do_visit(g, ck):
                 """Test one chunk (sub 128-tri tiles after ONE dynamic
-                fetch) against the packet; ck is CLAMPED, so a spent
-                selection visits a valid (possibly padding) chunk:
-                harmless repeat work, never wrong -- revisits can't
-                steal ties (equal t requires strictly lower sub-chunk
-                id) and padding planes are all-zero (t = NaN,
-                rejected)."""
+                fetch) against packet g. Revisits can't steal ties
+                (equal t requires strictly lower sub-chunk id) and
+                padding planes are all-zero (t = NaN, rejected)."""
+                rows = rows_of(pg, g)
+                oxp, oyp, ozp, dxp, dyp, dzp = rays_g[g]
                 base = ck * (sub * _ROWS_PER_CHUNK)
                 pall = planes_ref[pl.ds(base, sub * _ROWS_PER_CHUNK), :]
                 for si in range(sub):
@@ -276,24 +284,45 @@ def _make_packet_kernel(n_chunks: int, cp: int, tn: int, packet: int,
                 s_key[rows, :] = jnp.where(colp == ck, _I32_MAX,
                                            s_key[rows, :])
 
+            nm = group * kvisit
+
             def cond(carry):
-                return carry[0] < _I32_MAX
+                pend = carry[0]
+                for m in carry[1:nm]:
+                    pend = jnp.minimum(pend, m)
+                return pend < _I32_MAX
 
             def body(carry):
-                ms, cnt = carry[:-1], carry[-1]
-                for m in ms:
-                    ck = jnp.minimum(m & _ID_BITS_MASK, n_chunks - 1)
-                    do_visit(ck)
-                    cnt = cnt + (m < _I32_MAX).astype(jnp.int32)
-                return select() + (cnt,)
+                ms_all, cnts = carry[:nm], carry[nm:]
+                new_cnts = list(cnts)
+                # all group*kvisit visits are issued before any of the
+                # next round's selects: the g walks' serial chains
+                # overlap, and a spent packet's visit is skipped by a
+                # scalar branch
+                for g in range(group):
+                    for k in range(kvisit):
+                        m = ms_all[g * kvisit + k]
+                        ck = jnp.minimum(m & _ID_BITS_MASK, n_chunks - 1)
+                        pl.when(m < _I32_MAX)(
+                            lambda g=g, ck=ck: do_visit(g, ck))
+                        new_cnts[g] = new_cnts[g] \
+                            + (m < _I32_MAX).astype(jnp.int32)
+                new_ms = ()
+                for g in range(group):
+                    new_ms = new_ms + select(g)
+                return new_ms + tuple(new_cnts)
 
-            final = lax.while_loop(cond, body,
-                                   select() + (jnp.int32(0),))
-            visits_ref[rows, :] = jnp.full((packet, 1), final[-1],
-                                           jnp.int32)
+            init = ()
+            for g in range(group):
+                init = init + select(g)
+            init = init + tuple(jnp.int32(0) for _ in range(group))
+            final = lax.while_loop(cond, body, init)
+            for g in range(group):
+                visits_ref[rows_of(pg, g), :] = jnp.full(
+                    (packet, 1), final[nm + g], jnp.int32)
             return 0
 
-        lax.fori_loop(0, n_packets, packet_body, 0)
+        lax.fori_loop(0, n_packets // group, group_body, 0)
 
         # ---- phase 3: block-vectorized epilogue ----
         lane = lax.broadcasted_iota(jnp.int32, (tn, CHUNK), 1)
@@ -317,14 +346,18 @@ def _make_packet_kernel(n_chunks: int, cp: int, tn: int, packet: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rays", "interpret",
-                                              "packet", "kvisit", "sub"))
+                                              "packet", "kvisit", "sub",
+                                              "group"))
 def _packet_pallas(rays, planes, boxes, tile_rays: int = TILE_RAYS,
                    interpret: bool = False, packet: int = PACKET,
-                   kvisit: int = 2, sub: int = 1):
+                   kvisit: int = 2, sub: int = 1, group: int = 1):
     """rays [N, 8] (ox oy oz dx dy dz aliveF pad). Returns
     (t [N], slot [N] i32 morton slot or -1, uv [N, 2], visits [N])."""
     n = rays.shape[0]
     tn = tile_rays
+    while tn % (packet * group):
+        group //= 2
+    group = max(group, 1)
     pad = (-n) % tn
     if pad:
         # padding rays are dead (aliveF 0): they traverse nothing
@@ -339,7 +372,7 @@ def _packet_pallas(rays, planes, boxes, tile_rays: int = TILE_RAYS,
             f"mantissa slots); got {n_chunks} chunks")
 
     t, fid, uv, visits = pl.pallas_call(
-        _make_packet_kernel(n_chunks, cp, tn, packet, kvisit, sub),
+        _make_packet_kernel(n_chunks, cp, tn, packet, kvisit, sub, group),
         grid=(np_ // tn,),
         in_specs=[
             pl.BlockSpec((tn, 8), lambda i: (i, 0),
@@ -390,14 +423,17 @@ def _use_pallas() -> bool:
 
 
 def closest_hit_packet(origins, dirs, pk: PacketTris, mask=None,
-                       with_visits: bool = False):
+                       with_visits: bool = False, packet: int = None,
+                       kvisit: int = None, group: int = None):
     """Closest hit via packet traversal. origins/dirs [N, 3].
 
     Returns (fid [N] i32 original face id (-1 = miss), t [N], uv [N, 2])
     -- bit-identical to closest_hit_dense. mask=False lanes skip ALL
     traversal work in the kernel (their packet rows never contribute to
     chunk need) and report miss. with_visits=True appends the per-ray
-    chunk-visit count (pairs tested = visits * 128; lab evidence).
+    chunk-visit count (pairs tested = visits * tc; lab evidence).
+    packet/kvisit/group default to the TPT_PACKET_{W,K,G} env knobs
+    (the renderer passes RenderConfig.packet_* explicitly).
     """
     n = origins.shape[0]
     woop = pk.woop
@@ -412,9 +448,13 @@ def closest_hit_packet(origins, dirs, pk: PacketTris, mask=None,
             axis=1)
         t, fid, uv, visits = _packet_pallas(
             rays, pk.planes, pk.boxes, interpret=impl == "interpret",
-            packet=int(os.environ.get("TPT_PACKET_W", PACKET)),
-            kvisit=int(os.environ.get("TPT_PACKET_K", 2)),
-            sub=pk.sub)
+            packet=packet if packet is not None
+            else int(os.environ.get("TPT_PACKET_W", PACKET)),
+            kvisit=kvisit if kvisit is not None
+            else int(os.environ.get("TPT_PACKET_K", 1)),
+            sub=pk.sub,
+            group=group if group is not None
+            else int(os.environ.get("TPT_PACKET_G", 16)))
     else:
         rays = jnp.concatenate(
             [origins, dirs, jnp.zeros((n, 2), origins.dtype)], axis=1)

@@ -72,7 +72,7 @@ def prepare_state(scene: FlatScene, cfg: RenderConfig,
     elif cfg.intersector == "packet":
         from tinypathtracer_tpu.ops.packet import precompute_packet
 
-        bvh = precompute_packet(data.tri_verts)
+        bvh = precompute_packet(data.tri_verts, tc=cfg.packet_tc)
     elif prebuilt_bvh is not None:
         # host-built nodes (or any precomputed tree); re-point tri_verts
         # at this frame's device geometry so shading stays differentiable
@@ -140,7 +140,9 @@ def _hit_fn(state: PipelineState, cfg: RenderConfig):
     if cfg.intersector == "packet":
         from tinypathtracer_tpu.ops.packet import closest_hit_packet
 
-        return functools.partial(closest_hit_packet, pk=state.bvh)
+        return functools.partial(closest_hit_packet, pk=state.bvh,
+                                 packet=cfg.packet_w, kvisit=cfg.packet_k,
+                                 group=cfg.packet_g)
     if cfg.intersector == "bvh":
         return functools.partial(closest_hit_bvh, bvh=state.bvh,
                                  stack_depth=cfg.stack_depth)
