@@ -18,9 +18,12 @@ Env overrides (all optional):
                                 since round 5 (the driver-captured
                                 headline must be the north-star number,
                                 VERDICT r4 weak #2)
-  BENCH_SCENE                   "box" (default) | "stress": stress is the
-                                ~63k-face sphere grid (models/procedural),
-                                exercising the SUPER-gated kernel
+  BENCH_SCENE                   "box" (default) | "stress" | "textured":
+                                stress is the ~63k-face sphere grid
+                                (models/procedural), exercising the
+                                packet traversal kernel; textured is a
+                                ~1.8k-face room with checker-textured
+                                diffuse materials on the mega fast path
 """
 
 from __future__ import annotations
@@ -61,6 +64,16 @@ def main():
                                  env_radiance=np.asarray(
                                      gradient_sky(64, 128)))
         scene_label = f"sphere-grid {flat.indices.shape[0]} faces"
+    elif scene_name == "textured":
+        # textured-workload analogue of BASELINE.json config[3]: a
+        # mega-path-sized room whose diffuse materials fetch a checker
+        # atlas with real texcoords every bounce (texture.cu:129-170)
+        from tinypathtracer_tpu.models.procedural import sphere_grid_scene
+
+        flat = sphere_grid_scene(grid=2, n_lat=8, n_lon=16, textured=True,
+                                 env_radiance=np.asarray(
+                                     gradient_sky(64, 128)))
+        scene_label = f"textured sphere-grid {flat.indices.shape[0]} faces"
     else:
         scene = load_scene("/root/reference/input/box.gltf")
         flat = scene.flatten(env_radiance=gradient_sky(64, 128))

@@ -80,24 +80,49 @@ def main():
     # stand-in for the >= 85% two-host scaling target.
     import time
 
-    cfg_b = RenderConfig(width=48, height=48, spp=4, max_depth=3,
-                         intersector="dense", tile_pixels=256)
-    step_b = make_sharded_train_step(cfg_b, mesh, opt)
-    tgt_b = jnp.zeros((48, 48, 3), jnp.float32)
-    _, _, l0 = step_b(params, opt_state, flat, tgt_b, jax.random.PRNGKey(5))
-    float(l0)                                    # compile + sync
-    best = float("inf")
-    for i in range(3):
+    def time_step(cfg_t):
+        step_t = make_sharded_train_step(cfg_t, mesh, opt)
+        tgt_t = jnp.zeros((cfg_t.height, cfg_t.width, 3), jnp.float32)
+        _, _, l0 = step_t(params, opt_state, flat, tgt_t,
+                          jax.random.PRNGKey(5))
+        float(l0)                                # compile + sync
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            _, _, lb = step_t(params, opt_state, flat, tgt_t,
+                              jax.random.PRNGKey(6 + i))
+            float(lb)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = time_step(RenderConfig(width=48, height=48, spp=4, max_depth=3,
+                                  intersector="dense", tile_pixels=256))
+    # 16x the ray work: if efficiency recovers here, the small-step
+    # deficit is fixed per-step cross-process latency (dispatch +
+    # barrier on loopback TCP), not payload-proportional comm -- the
+    # diagnosis VERDICT r4 weak #5 asks for
+    best_big = time_step(RenderConfig(width=96, height=96, spp=16,
+                                      max_depth=3, intersector="dense",
+                                      tile_pixels=256))
+
+    # bare cross-process collective roundtrip: the fixed latency floor
+    @jax.jit
+    @functools_partial_shard(mesh)
+    def ping(x):
+        return jax.lax.psum(jnp.sum(x) * 0.5, ("data", "sample"))
+
+    float(ping(garr))
+    best_ping = float("inf")
+    for _ in range(10):
         t0 = time.perf_counter()
-        _, _, lb = step_b(params, opt_state, flat, tgt_b,
-                          jax.random.PRNGKey(6 + i))
-        float(lb)
-        best = min(best, time.perf_counter() - t0)
+        float(ping(garr))
+        best_ping = min(best_ping, time.perf_counter() - t0)
 
     print("RESULT:" + json.dumps({
         "rank": rank, "processes": jax.process_count(),
         "devices": len(jax.devices()), "psum_total": tot,
         "loss": float(loss), "gnorm": gnorm, "step_s": best,
+        "step_big_s": best_big, "ping_s": best_ping,
     }), flush=True)
 
 

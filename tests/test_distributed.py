@@ -89,9 +89,20 @@ def test_scaling_efficiency_loopback():
     t1 = r1[0]["step_s"]
     t2 = max(r["step_s"] for r in r2.values())
     eff = t1 / t2
+    t1b = r1[0]["step_big_s"]
+    t2b = max(r["step_big_s"] for r in r2.values())
+    eff_big = t1b / t2b
+    ping = max(r["ping_s"] for r in r2.values())
     print(f"\nscaling efficiency proxy (1p -> 2p, fixed total): "
-          f"t1={t1*1e3:.1f} ms t2={t2*1e3:.1f} ms eff={eff:.2f}")
+          f"small t1={t1*1e3:.1f} ms t2={t2*1e3:.1f} ms eff={eff:.2f}; "
+          f"16x-workload t1={t1b*1e3:.1f} ms t2={t2b*1e3:.1f} ms "
+          f"eff={eff_big:.2f}; bare-psum roundtrip {ping*1e3:.1f} ms")
     # loose bound: the 2-process step must not cost more than 2x the
     # single-process step (CPU loopback shares physical cores, so
     # tighter bounds would be flaky in CI)
     assert eff > 0.5, f"2-process overhead too high: {eff:.2f}"
+    # the compute-bound workload must amortize the fixed cross-process
+    # latency (the round-5 diagnosis: the small-step deficit is
+    # per-step dispatch/barrier cost, not payload-proportional comm)
+    assert eff_big > eff - 0.15, (
+        f"16x workload did not amortize overhead: {eff_big:.2f} vs {eff:.2f}")

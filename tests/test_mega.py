@@ -163,8 +163,9 @@ def test_mega_stored_emission_env_grads():
 
 
 def test_mega_fallbacks():
-    """Static compatibility gates: physical mode and textured scenes
-    must NOT take the megakernel path."""
+    """Static compatibility gates: physical mode must NOT take the
+    megakernel path; textured scenes DO since round 5 (hits-only kernel
+    + shading replay)."""
     from tinypathtracer_tpu.ops.mega import mega_available
     from tinypathtracer_tpu.render.integrator import TraceData
 
@@ -175,4 +176,4 @@ def test_mega_fallbacks():
         data, dataclasses.replace(ref, mode="physical"))
     textured = dataclasses.replace(
         data, tex_atlas=jnp.zeros((1, 8, 8, 3), jnp.float32))
-    assert not mega_available(textured, ref)
+    assert mega_available(textured, ref)

@@ -169,6 +169,53 @@ def test_texel_gradients_match_fd(quad_flat):
 
 
 # ---------------------------------------------------------------------------
+# Round-5: textured scenes on the megakernel fast path (hits-only
+# kernel + shading-only stored replay, ops/mega.py)
+# ---------------------------------------------------------------------------
+
+def test_mega_textured_bit_identical(quad_flat):
+    """A textured scene routed through the mega path must render
+    bit-identically to the modular pipeline: the kernel contributes
+    only hit residuals; radiance comes from the same shading math."""
+    import dataclasses
+
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=2,
+                       intersector="dense")
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(Renderer(dataclasses.replace(
+        cfg, mega_impl="interpret")).render(quad_flat, key))
+    b = np.asarray(Renderer(dataclasses.replace(
+        cfg, megakernel=False)).render(quad_flat, key))
+    assert np.array_equal(a, b), f"maxdiff {np.abs(a - b).max()}"
+
+
+def test_mega_textured_grads_match_modular(quad_flat):
+    """Texel / albedo / env gradients through the textured mega path
+    equal the modular pipeline's exactly (same replayed shading graph,
+    hits are bit-identical constants)."""
+    import dataclasses
+
+    from tinypathtracer_tpu.diff.invrender import Params, mse_loss
+
+    cfg = RenderConfig(width=10, height=10, spp=2, max_depth=2,
+                       intersector="dense")
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((10, 10, 3), jnp.float32)
+    params = Params.from_scene(quad_flat)
+
+    g_a = jax.grad(lambda p: mse_loss(
+        p, quad_flat, dataclasses.replace(cfg, mega_impl="interpret"),
+        target, key))(params)
+    g_b = jax.grad(lambda p: mse_loss(
+        p, quad_flat, dataclasses.replace(cfg, megakernel=False),
+        target, key))(params)
+    for la, lb in zip(jax.tree_util.tree_leaves(g_a),
+                      jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
 # Round-4: mip LOD + bilinear filtering (cfg.tex_filter == "bilinear")
 # ---------------------------------------------------------------------------
 

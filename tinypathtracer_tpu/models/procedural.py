@@ -29,6 +29,8 @@ def uv_sphere(center, radius, n_lat, n_lon):
     normals = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
     verts = (normals * radius + np.asarray(center, np.float32)).astype(
         np.float32)
+    uv = np.stack([ll / (2 * np.pi), tt / np.pi],
+                  -1).reshape(-1, 2).astype(np.float32)
 
     def vid(i, j):
         return i * n_lon + (j % n_lon)
@@ -42,27 +44,34 @@ def uv_sphere(center, radius, n_lat, n_lon):
                 faces.append((a, b, c))
             if i < n_lat - 1:
                 faces.append((b, d, c))
-    return verts, normals, np.asarray(faces, np.int64)
+    return verts, normals, np.asarray(faces, np.int64), uv
 
 
 def sphere_grid_scene(grid=4, n_lat=16, n_lon=32,
-                      env_radiance=None) -> FlatScene:
+                      env_radiance=None, textured=False) -> FlatScene:
     """A room of grid^3 spheres; ~2*grid^3*n_lat*n_lon triangles.
 
     grid=4, 16x32 spheres  ->   ~63k faces
     grid=5, 16x32          ->  ~124k faces
     Deterministic: materials cycle diffuse/metal/glass; one emissive
     ceiling quad lights the room (reference-estimator friendly).
+
+    textured=True gives every diffuse material a procedural 64x64
+    checker texture with real texcoords (quads tile 4x, spheres use
+    their lat/lon parametrization) -- the textured-workload analogue of
+    BASELINE.json config[3] for bench.py (BENCH_SCENE=textured).
     """
     rng = np.random.default_rng(7)
-    verts, norms, faces, face_mtl, vert_obj = [], [], [], [], []
+    verts, norms, uvs, faces, face_mtl, vert_obj = [], [], [], [], [], []
     v_off = 0
     obj = 0
 
-    def add(v, n, f, mtl):
+    def add(v, n, f, mtl, uv=None):
         nonlocal v_off, obj
         verts.append(v)
         norms.append(n)
+        uvs.append(np.zeros((len(v), 2), np.float32) if uv is None
+                   else np.asarray(uv, np.float32))
         faces.append(f + v_off)
         face_mtl.append(np.full(len(f), mtl, np.int32))
         vert_obj.append(np.full(len(v), 0, np.int32))
@@ -74,7 +83,8 @@ def sphere_grid_scene(grid=4, n_lat=16, n_lon=32,
         v = np.asarray([p0, p1, p2, p3], np.float32)
         nn = np.tile(np.asarray(n, np.float32), (4, 1))
         f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
-        add(v, nn, f, mtl)
+        uv = np.asarray([[0, 0], [4, 0], [4, 4], [0, 4]], np.float32)
+        add(v, nn, f, mtl, uv)
 
     s = 5.0
     quad([-s, -s, -s], [s, -s, -s], [s, -s, s], [-s, -s, s], [0, 1, 0], 0)
@@ -97,14 +107,15 @@ def sphere_grid_scene(grid=4, n_lat=16, n_lon=32,
                 c = (base + ix * pitch + rng.uniform(-0.1, 0.1) * pitch,
                      base + iy * pitch + rng.uniform(-0.1, 0.1) * pitch,
                      base + iz * pitch + rng.uniform(-0.1, 0.1) * pitch)
-                v, n, f = uv_sphere(c, r, n_lat, n_lon)
-                add(v, n, f, int(3 * rng.random() // 1))
+                v, n, f, uv = uv_sphere(c, r, n_lat, n_lon)
+                add(v, n, f, int(3 * rng.random() // 1), uv)
 
     v = np.concatenate(verts)
     n = np.concatenate(norms)
     f = np.concatenate(faces).astype(np.int64)
     fm = np.concatenate(face_mtl)
     vo = np.concatenate(vert_obj)
+    uv = np.concatenate(uvs)
 
     if env_radiance is None:
         env_radiance = np.full((1, 1, 3), 0.1, np.float32)
@@ -128,9 +139,23 @@ def sphere_grid_scene(grid=4, n_lat=16, n_lon=32,
                              [0.12, 0.15, 0.65],
                              [0.8, 0.7, 0.2],
                              [1.0, 1.0, 1.0]], np.float32)
+    if textured:
+        # 64x64 checker atlas; diffuse materials 0-2 fetch it, the
+        # metal/emissive ones don't (mixed textured/untextured faces)
+        yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        check = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+        atlas = np.stack([0.25 + 0.75 * check,
+                          np.full_like(check, 0.6),
+                          1.0 - 0.75 * check], axis=-1)[None]
+        tex_ids = [0, 0, 0, -1, -1]
+    else:
+        uv = np.zeros((len(v), 2), np.float32)
+        atlas = np.ones((1, 1, 1, 3), np.float32)
+        tex_ids = [-1] * 5
+
     return FlatScene(
         vertices=f32(v), normals=f32(n),
-        texcoords=f32(np.zeros((len(v), 2))),
+        texcoords=f32(uv),
         indices=i32(f),
         vert_mats=f32(np.eye(4)[None]),
         normal_mats=f32(np.eye(4)[None]),
@@ -148,6 +173,6 @@ def sphere_grid_scene(grid=4, n_lat=16, n_lon=32,
         env_radiance=f32(env_radiance),
         cam_to_world=f32(c2w),
         cam_yfov=f32(1.1), cam_aspect=f32(1.0), cam_znear=f32(0.01),
-        tex_atlas=f32(np.ones((1, 1, 1, 3))),
-        mtl_tex_id=i32([-1] * 5),
+        tex_atlas=f32(atlas),
+        mtl_tex_id=i32(tex_ids),
     )

@@ -54,11 +54,13 @@ the modular ones (tests/test_grad.py semantics) at the cost of one
 modular recompute in the backward pass.
 
 Scope (static, checked by `mega_available`): reference estimator mode,
-untextured scenes, padded face count <= 8192 (the whole scene's planes
-+ shading table stay VMEM-resident; larger scenes keep the modular
-SUPER-gated pipeline -- see MEGA_MAX_FACES for the measurements), <= 6
-delta lights (unrolled; the query-state scratch has 8 rows for
-2 closest + L any-hit directions). TPT_MEGA_GATE=on opts into one slab
+padded face count <= 8192 (the whole scene's planes + shading table
+stay VMEM-resident; larger scenes use the packet traversal pipeline --
+see MEGA_MAX_FACES for the measurements), <= 6 delta lights (unrolled;
+the query-state scratch has 8 rows for 2 closest + L any-hit
+directions). Textured scenes qualify since round 5: the kernel runs
+hits-only (paths are texture-independent) and radiance comes from the
+differentiable shading-only stored replay. TPT_MEGA_GATE=on opts into one slab
 gate per triangle chunk (direction tests OR-ed, running-best 'hint' far
 bounds, culling-only: bit-identical); measured not a win on the bundled
 scenes, kept for spread-out geometry experiments.
@@ -828,14 +830,20 @@ def _lights_block(data):
     return rows
 
 
+def _is_textured(data) -> bool:
+    return (data.tex_atlas.shape[0] > 1 or data.tex_atlas.shape[1] > 1
+            or data.tex_atlas.shape[2] > 1)
+
+
 def mega_available(data, cfg, woop=None) -> bool:
-    """Static compatibility: reference mode, untextured, VMEM-resident
-    scene, and few enough delta lights for the query-state scratch
-    (2 closest + L any-hit rows must fit the 8-row qt/qi buffers)."""
+    """Static compatibility: reference mode, VMEM-resident scene, and
+    few enough delta lights for the query-state scratch (2 closest + L
+    any-hit rows must fit the 8-row qt/qi buffers). Textured scenes
+    qualify since round 5: path geometry is texture-independent (texels
+    only modulate base color, never directions/termination), so the
+    kernel's stored hit residuals are valid and radiance comes from the
+    shading-only replay, which handles textures."""
     if cfg.mode != "reference":
-        return False
-    if (data.tex_atlas.shape[0] > 1 or data.tex_atlas.shape[1] > 1
-            or data.tex_atlas.shape[2] > 1):
         return False
     if data.light_kind.shape[0] > 6:
         return False
@@ -953,6 +961,22 @@ def trace_paths_mega(data, cfg, origins, dirs, lane_keys):
                          woop_.perm[jnp.maximum(slot2, 0)], -1)
         occ = hr[:, 5].astype(jnp.int32)
         return rad3, (fid, t, uv, fid2, occ)
+
+    if _is_textured(data):
+        # Textured fast path: the kernel's shading ignores texels, but
+        # the PATHS it traces are exactly the textured pipeline's (base
+        # color never influences directions, hits, or termination), so
+        # run it hits-only under stop_gradient and compute the real
+        # textured radiance with the shading-only stored replay -- which
+        # is differentiable end-to-end (incl. texel gradients) with no
+        # custom VJP needed: the backward replays shading math on the
+        # same residuals, zero intersection dispatches.
+        sgd = jax.tree_util.tree_map(lax.stop_gradient, data)
+        _rad, hits = primal(sgd, lax.stop_gradient(origins),
+                            lax.stop_gradient(dirs), lane_keys,
+                            save_hits=True)
+        return trace_paths(data, cfg, None, origins, dirs, lane_keys,
+                           stored_hits=hits)
 
     @jax.custom_vjp
     def f(data_, origins_, dirs_, keys_):
