@@ -9,7 +9,9 @@ vs_baseline is measured against the BASELINE.json north-star target of
 
 Env overrides (all optional):
   BENCH_WIDTH/HEIGHT/SPP/DEPTH  workload shape (default 512x512@16, d8)
-  BENCH_INTERSECTOR             "dense" (default) | "bvh" | "wbvh" | "bruteforce"
+  BENCH_INTERSECTOR             "dense" (default; auto-routes to the packet
+                                kernel above 8k faces) | "packet" | "bvh" |
+                                "bruteforce"
   BENCH_REPEATS                 timed repetitions (default 3, best-of)
   BENCH_MODE                    "fwdbwd" (default) | "fwd": fwdbwd times
                                 one value_and_grad step of the MSE loss

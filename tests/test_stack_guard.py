@@ -102,16 +102,3 @@ def test_deep_stack_matches_bruteforce_on_comb():
                                rtol=1e-5)
 
 
-def test_wbvh_max_stack_guard():
-    from tinypathtracer_tpu.ops.wide_bvh import build_wide_host, closest_hit_wbvh
-
-    tris = np.asarray(_comb_scene(extra=64))
-    wbvh = build_wide_host(tris, leaf_k=4)
-    assert wbvh.max_stack >= 2
-    o = jnp.asarray(np.tile([[0.25, 0.25, 3.0]], (16, 1)).astype(np.float32))
-    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (16, 1))
-    with pytest.raises(ValueError, match="stack_depth.*overflow"):
-        closest_hit_wbvh(o, d, wbvh, stack_depth=wbvh.max_stack - 1)
-    fb, _, _ = intersect.closest_hit_bruteforce(o, d, jnp.asarray(tris))
-    fid, t, _ = closest_hit_wbvh(o, d, wbvh, stack_depth=wbvh.max_stack)
-    np.testing.assert_array_equal(np.asarray(fid), np.asarray(fb))

@@ -33,12 +33,15 @@ class RenderConfig:
     # Intersection backend: "dense" (default) tests every ray against
     # every triangle as tiled [rays x tris] VPU work with hoisted Woop
     # transforms -- a Pallas kernel on TPU, the fastest path for the
-    # scene sizes the reference ships (ops/dense.py); "bruteforce" is
-    # the plain Moller-Trumbore oracle; "bvh" the binary LBVH +
-    # lockstep traversal; "wbvh" the host-collapsed 8-ary wide BVH;
-    # "packet" the 8-ray-packet near-to-far chunk traversal
-    # (ops/packet.py) -- sublinear per-query work, the large-scene
-    # fast path.
+    # scene sizes the reference ships (ops/dense.py), and auto-routes
+    # to "packet" above 8k padded faces (renderer.resolve_intersector,
+    # the measured crossover in BASELINE.md); "packet" forces the
+    # 8-ray-packet near-to-far chunk traversal (ops/packet.py) --
+    # sublinear per-query work, the large-scene fast path;
+    # "bruteforce" is the plain Moller-Trumbore oracle; "bvh" the
+    # binary LBVH lockstep tree walk (correctness oracle for the LBVH
+    # build -- measured 100-500x off the chip's pace, not a production
+    # path).
     intersector: str = "dense"
     # (pixel, sample) lanes are flattened and processed in dispatch
     # chunks of up to this many rays: large chunks amortize per-bounce
@@ -135,7 +138,7 @@ class RenderConfig:
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.intersector not in ("dense", "bruteforce", "bvh", "wbvh",
+        if self.intersector not in ("dense", "bruteforce", "bvh",
                                     "packet"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.bvh_source not in ("device", "host"):

@@ -1,4 +1,18 @@
-"""BVH traversal for ray batches.
+"""BVH traversal for ray batches -- CORRECTNESS ORACLE, not a
+production path.
+
+Settled with on-chip data in round 5 (BASELINE.md traversal table,
+tools/lab5.py): this lockstep per-node walk runs 0.05-0.10 Mrays/s on
+the chip -- 100-500x slower than the dense sweep or the packet kernel
+-- because every step is a per-lane node gather (an O(nodes) relayout
+on this backend) and wall time is set by the deepest ray. It stays in
+the tree as the oracle that validates the LBVH BUILD (ops/lbvh.py,
+csrc native builder): tests cross-check its hits bit-for-bit against
+brute force, which exercises tree topology/boxes end to end. The
+production traversal is ops/dense.py (small scenes, megakernel) and
+ops/packet.py (large scenes, near-to-far chunk walks); the 8-ary
+wide-BVH variant this file once had a sibling of measured the same
+order-of-magnitude off and was deleted.
 
 TPU redesign of the reference's per-thread stackful traversal
 (`traverseBVH`, path_tracer.cu:61-107): instead of one divergent loop

@@ -42,6 +42,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from tinypathtracer_tpu.config import RenderConfig
 from tinypathtracer_tpu.models.envlight import (
@@ -239,6 +240,10 @@ def fetch_cols(tableT, idx):
         return tableT[:, idx]
     oh = (jnp.arange(f, dtype=idx.dtype)[:, None] == idx[None, :]).astype(
         tableT.dtype)
+    # named so the stored-hit replay's checkpoint policy can exclude
+    # the [F, N] one-hot from saved residuals (rebuilt from idx in the
+    # backward pass) while saving every [N]-sized intermediate
+    oh = checkpoint_name(oh, "fetch_onehot")
     return jnp.dot(tableT, oh, precision=lax.Precision.HIGHEST)
 
 
@@ -788,6 +793,12 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     if stored_hits is not None:
         xs = (xs,) + tuple(jax.tree_util.tree_map(lax.stop_gradient,
                                                   stored_hits))
+    # (A save-anything-except-the-fetch-one-hot checkpoint policy was
+    # tried for the stored replay to skip the backward's bounce
+    # recompute: XLA still materialized the [D, F, N] one-hot stack
+    # (15 GB at bench size, OOM) -- the named exclusion does not
+    # survive the scan transpose on this backend. Full per-bounce
+    # rematerialization stays.)
     out, _ = lax.scan(jax.checkpoint(bounce), init, xs)
     rr, rg, rb = out[9], out[10], out[11]
     return jnp.stack([rr, rg, rb], axis=1)

@@ -60,16 +60,31 @@ class PipelineState:
     bvh: Union[BVH, tuple]   # () when cfg.intersector == "bruteforce"
 
 
+def resolve_intersector(cfg: RenderConfig, n_faces: int) -> str:
+    """Static intersector policy. A 'dense' request resolves by the
+    measured crossover (BASELINE.md round-5 traversal table): the
+    whole-scene dense sweep (+ megakernel) wins below ~8k padded faces;
+    above it the packet near-to-far chunk walk is 3-4x faster and
+    sublinear in F, so large scenes auto-route to it."""
+    if cfg.intersector == "dense":
+        from tinypathtracer_tpu.ops.mega import MEGA_MAX_FACES
+
+        if -(-n_faces // 128) * 128 > MEGA_MAX_FACES:
+            return "packet"
+    return cfg.intersector
+
+
 def prepare_state(scene: FlatScene, cfg: RenderConfig,
                   prebuilt_bvh=None) -> PipelineState:
     data = TraceData.from_scene(scene)
-    if cfg.intersector == "bruteforce":
+    isect = resolve_intersector(cfg, data.tri_verts.shape[0])
+    if isect == "bruteforce":
         bvh = ()
-    elif cfg.intersector == "dense":
+    elif isect == "dense":
         from tinypathtracer_tpu.ops.dense import precompute_woop
 
         bvh = precompute_woop(data.tri_verts)
-    elif cfg.intersector == "packet":
+    elif isect == "packet":
         from tinypathtracer_tpu.ops.packet import precompute_packet
 
         bvh = precompute_packet(data.tri_verts, tc=cfg.packet_tc)
@@ -77,9 +92,6 @@ def prepare_state(scene: FlatScene, cfg: RenderConfig,
         # host-built nodes (or any precomputed tree); re-point tri_verts
         # at this frame's device geometry so shading stays differentiable
         bvh = dataclasses.replace(prebuilt_bvh, tri_verts=data.tri_verts)
-    elif cfg.intersector == "wbvh":
-        raise ValueError("intersector='wbvh' is host-collapsed: pass "
-                         "prebuilt_bvh (Renderer does this automatically)")
     else:
         bvh = build_lbvh(data.tri_verts)
     return PipelineState(scene=scene, data=data, bvh=bvh)
@@ -93,13 +105,6 @@ def _host_world_tris(scene: FlatScene):
     vm = np.asarray(scene.vert_mats)[np.asarray(scene.vert_obj)]
     wv = np.einsum("vij,vj->vi", vm[:, :3, :3], verts) + vm[:, :3, 3]
     return wv[idx].astype(np.float32)
-
-
-def host_build_wide_bvh(scene: FlatScene, leaf_k: int = 4):
-    """Host-side wide-BVH build from the scene's world geometry."""
-    from tinypathtracer_tpu.ops.wide_bvh import build_wide_host
-
-    return build_wide_host(_host_world_tris(scene), leaf_k=leaf_k)
 
 
 def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
@@ -133,23 +138,19 @@ def host_build_bvh(scene: FlatScene, pad_rel: float = 1e-5) -> BVH:
 
 
 def _hit_fn(state: PipelineState, cfg: RenderConfig):
-    if cfg.intersector == "dense":
+    isect = resolve_intersector(cfg, state.data.tri_verts.shape[0])
+    if isect == "dense":
         from tinypathtracer_tpu.ops.dense import closest_hit_dense
 
         return functools.partial(closest_hit_dense, woop=state.bvh)
-    if cfg.intersector == "packet":
+    if isect == "packet":
         from tinypathtracer_tpu.ops.packet import closest_hit_packet
 
         return functools.partial(closest_hit_packet, pk=state.bvh,
                                  packet=cfg.packet_w, kvisit=cfg.packet_k,
                                  group=cfg.packet_g)
-    if cfg.intersector == "bvh":
+    if isect == "bvh":
         return functools.partial(closest_hit_bvh, bvh=state.bvh,
-                                 stack_depth=cfg.stack_depth)
-    if cfg.intersector == "wbvh":
-        from tinypathtracer_tpu.ops.wide_bvh import closest_hit_wbvh
-
-        return functools.partial(closest_hit_wbvh, wbvh=state.bvh,
                                  stack_depth=cfg.stack_depth)
     chunk = min(512, max(8, state.data.tri_verts.shape[0]))
     return functools.partial(intersect.closest_hit_bruteforce,
@@ -174,12 +175,12 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
     # Megakernel fast path: whole bounce loop in one Pallas program per
     # ray block (ops/mega.py), bit-identical images, modular-replay
     # gradients. Static decision (shapes + cfg only).
+    from tinypathtracer_tpu.ops.dense import WoopTris
     from tinypathtracer_tpu.ops.mega import mega_enabled, trace_paths_mega
 
     use_mega = (cfg.intersector == "dense"
-                and mega_enabled(data, cfg,
-                                 state.bvh if cfg.intersector == "dense"
-                                 else None))
+                and isinstance(state.bvh, WoopTris)
+                and mega_enabled(data, cfg, state.bvh))
 
     n = pix.shape[0]
     # pixels per dispatch chunk, from the ray budget (all spp of a pixel
@@ -264,17 +265,12 @@ class Renderer:
 
     def _bvh_for(self, scene: FlatScene):
         cfg = self.cfg
-        want_host = (cfg.intersector == "wbvh"
-                     or (cfg.intersector == "bvh" and cfg.bvh_source == "host"))
-        if not want_host:
+        if not (cfg.intersector == "bvh" and cfg.bvh_source == "host"):
             return None
         cache_key = id(scene)
         bvh = self._bvh_cache.get(cache_key)
         if bvh is None:
-            if cfg.intersector == "wbvh":
-                bvh = host_build_wide_bvh(scene)
-            else:
-                bvh = host_build_bvh(scene)
+            bvh = host_build_bvh(scene)
             self._bvh_cache = {cache_key: bvh}   # single-entry cache
         return bvh
 

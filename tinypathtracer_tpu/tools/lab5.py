@@ -2,9 +2,9 @@
 ON THE CHIP, across face counts and ray-coherence classes.
 
 Settles VERDICT r4 asks #1 and #5 with data: times `closest_hit_packet`
-(ops/packet.py) against the production dense kernel and the two
-unmeasured traversal implementations (`closest_hit_bvh`,
-`closest_hit_wbvh`) at 2k / 8k / 61k / 124k faces, for three ray
+(ops/packet.py) against the production dense kernel and the
+per-node tree walk (`closest_hit_bvh`; the 8-ary wide variant was
+deleted after this lab measured it 300-500x off the pace) at 2k / 8k / 61k / 124k faces, for three ray
 classes that bracket the renderer's workload:
 
   camera   consecutive-pixel primary rays (one origin, a coherent
@@ -26,7 +26,7 @@ traversal workload unchanged), sync by scalar readback, RPC overhead
 subtracted.
 
 Usage: python -m tinypathtracer_tpu.tools.lab5 [--scenes box,g2,g4,g5]
-       [--impls packet,dense,bvh,wbvh] [--n 262144]
+       [--impls packet,dense,bvh] [--n 262144]
 """
 
 from __future__ import annotations
@@ -173,14 +173,6 @@ def main():
                         host_build_bvh
                     bvh = host_build_bvh(flat)
                     hit = functools.partial(closest_hit_bvh, bvh=bvh,
-                                            stack_depth=64)
-                elif impl == "wbvh":
-                    from tinypathtracer_tpu.ops.wide_bvh import \
-                        closest_hit_wbvh
-                    from tinypathtracer_tpu.render.renderer import \
-                        host_build_wide_bvh
-                    wb = host_build_wide_bvh(flat)
-                    hit = functools.partial(closest_hit_wbvh, wbvh=wb,
                                             stack_depth=64)
                 else:
                     continue

@@ -32,10 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--mode", choices=["reference", "physical"], default="reference")
     # default matches config.RenderConfig: "dense" is the fast TPU path
-    # for reference-scale scenes; "bvh"/"wbvh" are the tree walks,
+    # for reference-scale scenes; "bvh" is the tree-walk oracle,
     # "bruteforce" the Moller-Trumbore oracle.
     p.add_argument("--intersector",
-                   choices=["dense", "bvh", "wbvh", "bruteforce"],
+                   choices=["dense", "bvh", "packet", "bruteforce"],
                    default="dense")
     p.add_argument("--bvh-source", choices=["device", "host"],
                    default="device",
