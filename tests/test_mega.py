@@ -162,6 +162,31 @@ def test_mega_stored_emission_env_grads():
                                rtol=1e-5, atol=1e-8)
 
 
+def test_remat_chunks_grads_exact():
+    """cfg.remat_chunks recomputes each ray-dispatch chunk in the
+    backward pass (memory bound for full-res frames): gradients and
+    loss must be bit-equal to the default saved-residual path."""
+    flat = _flat("box")
+    # 2 chunks: rays_per_dispatch < total rays
+    cfg = RenderConfig(width=8, height=8, spp=4, max_depth=3,
+                       intersector="dense", mega_impl="interpret",
+                       rays_per_dispatch=128)
+    key = jax.random.PRNGKey(2)
+    tgt = jnp.zeros((8, 8, 3), jnp.float32)
+
+    def loss(albedo, cfg_):
+        f = dataclasses.replace(flat, mtl_base_color=albedo)
+        img = render_frame(f, cfg_, key)
+        return jnp.mean((img - tgt) ** 2)
+
+    l_a, g_a = jax.value_and_grad(loss)(flat.mtl_base_color, cfg)
+    l_b, g_b = jax.value_and_grad(loss)(
+        flat.mtl_base_color, dataclasses.replace(cfg, remat_chunks=True))
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-6, atol=1e-10)
+
+
 def test_mega_fallbacks():
     """Static compatibility gates: physical mode must NOT take the
     megakernel path; textured scenes DO since round 5 (hits-only kernel

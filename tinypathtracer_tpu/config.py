@@ -134,6 +134,17 @@ class RenderConfig:
     #              dense intersector's reports; tests/test_mega.py).
     mega_bwd: str = dataclasses.field(
         default_factory=lambda: os.environ.get("TPT_MEGA_BWD", "stored"))
+    # Rematerialize each ray-dispatch chunk in the backward pass.
+    # Reverse-mode through the chunk map saves every chunk's residuals
+    # (~200 B/ray with the stored-hit backward): fine at 512x512@16spp
+    # (16 chunks, <1 GB), but a 1920x1080@64spp frame is 507 chunks
+    # (~24 GB -- over HBM). With remat, only chunk inputs persist and
+    # the backward recomputes each chunk's forward (~+50% step time).
+    # Default off; flip on for frames whose ray count times ~200 B
+    # exceeds a few GB.
+    remat_chunks: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPT_REMAT_CHUNKS",
+                                               "0") == "1")
 
     def __post_init__(self):
         if self.mode not in ("reference", "physical"):

@@ -42,7 +42,6 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.ad_checkpoint import checkpoint_name
 
 from tinypathtracer_tpu.config import RenderConfig
 from tinypathtracer_tpu.models.envlight import (
@@ -222,14 +221,21 @@ class TraceData:
         )
 
 
+@jax.custom_vjp
 def fetch_cols(tableT, idx):
     """EXACT column fetch [S, F][:, idx] -> [S, N] for small tables, on
     the MXU as a one-hot matmul in HIGHEST precision (bf16x6 passes,
     exact for f32 because the one-hot side is exactly representable).
     XLA's materialized gather runs at ~1 G elem/s on this backend (a
-    [1M, 15] fetch is ~15 ms; the one-hot dot is ~4-5 ms) and the dot's
-    transpose is the gradient. Falls back to the plain gather for
-    tables too large to one-hot against (one-hot cost scales with F).
+    [1M, 15] fetch is ~15 ms; the one-hot dot is ~4-5 ms). Falls back
+    to the plain gather for tables too large to one-hot against
+    (one-hot cost scales with F).
+
+    custom-vjp so the [F, N] one-hot NEVER enters the autodiff graph as
+    a residual: the backward rebuilds it from idx and runs the
+    transpose dot (the exact gradient). This is what lets the
+    stored-hit replay scan run WITHOUT per-bounce rematerialization --
+    its saved residuals are then all O(N)-sized.
 
     Component rows of the result are free sublane slices (the bounce
     loop is component-form; a [N, S] result would pay a lane-relayout
@@ -240,11 +246,25 @@ def fetch_cols(tableT, idx):
         return tableT[:, idx]
     oh = (jnp.arange(f, dtype=idx.dtype)[:, None] == idx[None, :]).astype(
         tableT.dtype)
-    # named so the stored-hit replay's checkpoint policy can exclude
-    # the [F, N] one-hot from saved residuals (rebuilt from idx in the
-    # backward pass) while saving every [N]-sized intermediate
-    oh = checkpoint_name(oh, "fetch_onehot")
     return jnp.dot(tableT, oh, precision=lax.Precision.HIGHEST)
+
+
+def _fetch_cols_fwd(tableT, idx):
+    return fetch_cols(tableT, idx), (tableT.shape[1], idx)
+
+
+def _fetch_cols_bwd(res, ct):
+    f, idx = res
+    if f > 8192:
+        gt = jnp.zeros((ct.shape[0], f), ct.dtype).at[:, idx].add(ct)
+    else:
+        oh = (jnp.arange(f, dtype=idx.dtype)[:, None]
+              == idx[None, :]).astype(ct.dtype)            # [F, N]
+        gt = jnp.dot(ct, oh.T, precision=lax.Precision.HIGHEST)
+    return gt, None
+
+
+fetch_cols.defvjp(_fetch_cols_fwd, _fetch_cols_bwd)
 
 
 @jax.custom_vjp
@@ -793,12 +813,14 @@ def trace_paths(data: TraceData, cfg: RenderConfig, closest_hit: HitFn,
     if stored_hits is not None:
         xs = (xs,) + tuple(jax.tree_util.tree_map(lax.stop_gradient,
                                                   stored_hits))
-    # (A save-anything-except-the-fetch-one-hot checkpoint policy was
-    # tried for the stored replay to skip the backward's bounce
-    # recompute: XLA still materialized the [D, F, N] one-hot stack
-    # (15 GB at bench size, OOM) -- the named exclusion does not
-    # survive the scan transpose on this backend. Full per-bounce
-    # rematerialization stays.)
+    # Per-bounce rematerialization stays for BOTH paths -- measured
+    # round 5 on the stored replay: skipping it (the custom-vjp fetch
+    # keeps one-hots out of the residual set, so only O(N) arrays get
+    # saved) still LOST ~5% (868k vs 915k rays/s fwd+bwd) because
+    # saving + reloading ~250 B/ray/bounce of residuals costs more HBM
+    # traffic than recomputing the glue. A named checkpoint-policy
+    # exclusion was also tried: XLA materialized the [D, F, N] one-hot
+    # stack anyway (15 GB OOM).
     out, _ = lax.scan(jax.checkpoint(bounce), init, xs)
     rr, rg, rb = out[9], out[10], out[11]
     return jnp.stack([rr, rg, rb], axis=1)

@@ -211,7 +211,8 @@ def render_pixel_ids(state: PipelineState, cfg: RenderConfig, pix, key,
             rad = trace_paths(data, cfg, closest_hit, o, d, keys)
         return rad.reshape(px_chunk, spp, 3).sum(axis=1)
 
-    out = lax.map(render_chunk, chunks)
+    body = jax.checkpoint(render_chunk) if cfg.remat_chunks else render_chunk
+    out = lax.map(body, chunks)
     return out.reshape(-1, 3)[:n]
 
 
