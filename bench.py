@@ -146,7 +146,8 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # emit a parseable failure record, nonzero exit
         print(json.dumps({
-            "metric": "primary rays/s/chip (Cornell box)",
+            "metric": ("primary rays/s/chip "
+                       f"({os.environ.get('BENCH_SCENE', 'box')} scene)"),
             "value": 0.0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
